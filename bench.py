@@ -1,0 +1,129 @@
+"""Benchmark: streaming TTS serving throughput on one TPU chip.
+
+Mirrors the reference's TTS bench (``HelloSippyTTSRT/HelloSippyRTPipeTest.py``:
+50 concurrent seeded sessions, reports time-to-first-frame and real-time
+ratio).  Here the metric is the number of concurrent real-time 16 kHz TTS
+streams one chip sustains: aggregate generated audio seconds per wall-clock
+second in steady state (sessions continuously join as others finish, slots
+stay full -- continuous batching).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/50}
+vs_baseline: the reference bench drives 50 concurrent sessions per GPU
+(HelloSippyRTPipeTest.py:103); >1.0 means more live streams than that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from infernos_tpu.models import speecht5 as st5
+    from infernos_tpu.models import hifigan as hfg
+    from infernos_tpu.serving.tts_engine import TTSEngine, TTSEngineConfig
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+
+    # Full-size SpeechT5 + HiFi-GAN dims (microsoft/speecht5_tts class);
+    # random weights -- the bench measures serving compute, not audio quality.
+    cfg = st5.SpeechT5Config()
+    voc = hfg.HifiGanConfig()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), st5.init_params(k1, cfg))
+    voc_params = jax.tree_util.tree_map(lambda x: x.astype(dtype), hfg.init_params(k2, voc))
+
+    B = int(os.environ.get("BENCH_SLOTS", "16"))
+    ecfg = TTSEngineConfig(
+        batch_slots=B,
+        max_text_tokens=64,
+        max_steps=256,
+        pre_frames=4,
+        chunk_schedule=(8, 32),
+        min_steps=8,
+        stop_threshold=2.0,  # random weights: run to max_frames deterministically
+        dtype=dtype,
+    )
+    eng = TTSEngine(params, cfg, voc_params, voc, ecfg)
+
+    rng = np.random.default_rng(42)
+    sr = ecfg.sample_rate
+    frames_goal = 128  # ~2 s of audio per session
+    stats = {"audio_samples": 0, "ttfb": []}
+
+    def start_one():
+        ids = rng.integers(2, cfg.vocab_size, size=rng.integers(16, 48)).astype(np.int32)
+        spk = rng.standard_normal(cfg.speaker_embedding_dim).astype(np.float32)
+        t0 = time.monotonic()
+        first = [None]
+
+        def cb(audio):
+            if audio is None:
+                return
+            if first[0] is None:
+                first[0] = time.monotonic() - t0
+                stats["ttfb"].append(first[0])
+            stats["audio_samples"] += len(audio)
+
+        eng.start_session(ids, spk, cb, max_frames=frames_goal)
+
+    # -- warmup: fill slots, trigger all compiles ----------------------------
+    for _ in range(B):
+        start_one()
+    t_compile = time.monotonic()
+    for _ in range(3):
+        eng.step()
+    compile_s = time.monotonic() - t_compile
+
+    # -- measure steady state ------------------------------------------------
+    stats["audio_samples"] = 0
+    stats["ttfb"] = []
+    t0 = time.monotonic()
+    deadline = t0 + float(os.environ.get("BENCH_SECONDS", "20"))
+    steps = 0
+    while time.monotonic() < deadline:
+        while eng.free_slots() and eng.n_active < B:
+            start_one()
+        if not eng.step():
+            continue
+        steps += 1
+    wall = time.monotonic() - t0
+
+    audio_s = stats["audio_samples"] / sr
+    streams = audio_s / wall
+    ttfb = sorted(stats["ttfb"]) or [0.0]
+    p95 = ttfb[min(len(ttfb) - 1, int(0.95 * len(ttfb)))]
+
+    result = {
+        "metric": "tts_concurrent_realtime_streams_per_chip",
+        "value": round(streams, 2),
+        "unit": "streams (16kHz audio-sec/wall-sec)",
+        "vs_baseline": round(streams / 50.0, 3),
+        "detail": {
+            "platform": dev.platform,
+            "device": str(dev),
+            "batch_slots": B,
+            "steps": steps,
+            "wall_s": round(wall, 2),
+            "audio_s": round(audio_s, 1),
+            "ttfb_p95_s": round(p95, 3),
+            "first_steps_incl_compile_s": round(compile_s, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

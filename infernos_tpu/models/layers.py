@@ -1,0 +1,282 @@
+"""Shared functional building blocks for all model families.
+
+Pure-function style: parameters are pytrees of jnp arrays, every op is
+jittable, shapes are static.  Weight layout convention: linear weights are
+stored ``[in, out]`` (transposed from torch's ``[out, in]`` at port time) so
+matmuls hit the MXU without transposes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e9  # mask value; avoid -inf to keep softmax NaN-free on all-masked rows
+
+
+# -- init helpers ------------------------------------------------------------
+
+def uniform_init(key, shape, scale):
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+def linear_init(key, d_in, d_out, bias=True) -> Params:
+    """torch.nn.Linear default init (kaiming-uniform fan_in)."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"w": uniform_init(k1, (d_in, d_out), bound)}
+    if bias:
+        p["b"] = uniform_init(k2, (d_out,), bound)
+    return p
+
+
+def embedding_init(key, n, d, padding_idx: Optional[int] = None) -> Params:
+    w = jax.random.normal(key, (n, d), jnp.float32)
+    if padding_idx is not None:
+        w = w.at[padding_idx].set(0.0)
+    return {"w": w}
+
+
+def layer_norm_init(d) -> Params:
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def conv1d_init(key, c_in, c_out, k, bias=True, groups=1) -> Params:
+    """torch.nn.Conv1d default init; weight stored [K, C_in/groups, C_out]."""
+    k1, k2 = jax.random.split(key)
+    fan_in = (c_in // groups) * k
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": uniform_init(k1, (k, c_in // groups, c_out), bound)}
+    if bias:
+        p["b"] = uniform_init(k2, (c_out,), bound)
+    return p
+
+
+# -- core ops ----------------------------------------------------------------
+
+def linear(x, p: Params):
+    y = jnp.einsum("...i,io->...o", x, p["w"])
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def layer_norm(x, p: Params, eps: float = 1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def conv1d(x, p: Params, *, stride=1, padding=0, dilation=1, groups=1):
+    """x: [B, T, C_in] -> [B, T', C_out]; weight [K, C_in/groups, C_out]."""
+    w = p["w"]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)] if isinstance(padding, int) else [padding],
+        rhs_dilation=(dilation,),
+        feature_group_count=groups,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv_transpose1d(x, p: Params, *, stride, padding):
+    """x: [B, T, C_in] -> [B, T*stride, C_out]; torch ConvTranspose1d semantics.
+
+    Weight stored [K, C_out, C_in] (torch layout [C_in, C_out, K] transposed
+    at port time to [K, C_out, C_in]).
+    """
+    w = p["w"]  # [K, C_out, C_in]
+    K = w.shape[0]
+    # transposed conv == lhs-dilated conv with flipped kernel
+    y = jax.lax.conv_general_dilated(
+        x,
+        w[::-1],  # flip taps
+        window_strides=(1,),
+        padding=[(K - 1 - padding, K - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HOI", "NHC"),
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def batch_norm_1d(x, p: Params, eps: float = 1e-5):
+    """Inference-mode BatchNorm over channel dim of [B, T, C]."""
+    inv = jax.lax.rsqrt(p["running_var"] + eps)
+    return (x - p["running_mean"]) * inv * p["g"] + p["b"]
+
+
+# -- positions ---------------------------------------------------------------
+
+def sinusoid_interleaved(max_len: int, dim: int) -> np.ndarray:
+    """Interleaved sin/cos table (HF ScaledPositionalEncoding layout)."""
+    pe = np.zeros((max_len, dim), np.float32)
+    position = np.arange(max_len)[:, None].astype(np.float64)
+    div = np.exp(np.arange(0, dim, 2).astype(np.float64) * -(math.log(10000.0) / dim))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+def sinusoid_concat(num: int, dim: int, padding_idx: Optional[int] = None) -> np.ndarray:
+    """Concatenated sin|cos table (fairseq/HF SinusoidalPositionalEmbedding)."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    emb = np.exp(np.arange(half).astype(np.float64) * -emb)
+    emb = np.arange(num).astype(np.float64)[:, None] * emb[None, :]
+    out = np.concatenate([np.sin(emb), np.cos(emb)], axis=1).astype(np.float32)
+    if dim % 2 == 1:
+        out = np.concatenate([out, np.zeros((num, 1), np.float32)], axis=1)
+    if padding_idx is not None:
+        out[padding_idx] = 0.0
+    return out
+
+
+# -- attention ---------------------------------------------------------------
+
+def mha_init(key, d_model, bias=True) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "q": linear_init(ks[0], d_model, d_model, bias),
+        "k": linear_init(ks[1], d_model, d_model, bias),
+        "v": linear_init(ks[2], d_model, d_model, bias),
+        "o": linear_init(ks[3], d_model, d_model, bias),
+    }
+
+
+def split_heads(x, n_heads):
+    B, T, D = x.shape
+    return x.reshape(B, T, n_heads, D // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    B, H, T, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+
+
+def attention(
+    p: Params,
+    x_q,
+    x_kv=None,
+    *,
+    n_heads: int,
+    mask=None,
+    pos_bias=None,
+    scale: Optional[float] = None,
+):
+    """Full (non-cached) multi-head attention.
+
+    ``mask``: additive ``[B, 1, Tq, Tk]`` (0 = keep, NEG_INF = drop) or None.
+    ``pos_bias``: SpeechT5-style relative key embeddings ``[Tq, Tk, Dh]``;
+    bias logits are ``q . pos_bias`` (reference semantics of
+    ``SpeechT5Attention``, HF modeling_speecht5.py).
+    """
+    if x_kv is None:
+        x_kv = x_q
+    D = x_q.shape[-1]
+    dh = D // n_heads
+    scale = scale if scale is not None else dh**-0.5
+    q = split_heads(linear(x_q, p["q"]), n_heads) * scale
+    k = split_heads(linear(x_kv, p["k"]), n_heads)
+    v = split_heads(linear(x_kv, p["v"]), n_heads)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if pos_bias is not None:
+        logits = logits + jnp.einsum("bhqd,qkd->bhqk", q, pos_bias)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    return linear(merge_heads(out), p["o"])
+
+
+def attention_step(
+    p: Params,
+    x_q,
+    *,
+    n_heads: int,
+    k_cache,
+    v_cache,
+    pos,
+    kv_len_mask=None,
+):
+    """Single-query cached self-attention step for slot-batched AR decode.
+
+    x_q: ``[B, 1, D]``; caches ``[B, H, Tmax, Dh]``; ``pos``: ``[B]`` int32
+    per-slot write position (slots join at different times, SURVEY.md
+    section 7 "slot join/leave without recompile").
+
+    Returns (out ``[B, 1, D]``, new_k_cache, new_v_cache).
+    """
+    B, _, D = x_q.shape
+    dh = D // n_heads
+    scale = dh**-0.5
+    q = split_heads(linear(x_q, p["q"]), n_heads) * scale  # [B,H,1,dh]
+    k_new = split_heads(linear(x_q, p["k"]), n_heads)[:, :, 0]  # [B,H,dh]
+    v_new = split_heads(linear(x_q, p["v"]), n_heads)[:, :, 0]
+
+    def upd(cache, new, pos):  # per-slot dynamic write
+        return jax.lax.dynamic_update_slice_in_dim(cache, new[:, None, :], pos, axis=1)
+
+    k_cache = jax.vmap(upd)(k_cache, k_new, pos)
+    v_cache = jax.vmap(upd)(v_cache, v_new, pos)
+    Tmax = k_cache.shape[2]
+    kpos = jnp.arange(Tmax)[None, None, None, :]  # [1,1,1,T]
+    valid = kpos <= pos[:, None, None, None]
+    if kv_len_mask is not None:
+        valid = jnp.logical_and(valid, kv_len_mask[:, None, None, :])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache)
+    logits = jnp.where(valid, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v_cache)
+    return linear(merge_heads(out), p["o"]), k_cache, v_cache
+
+
+def cross_attention_step(p: Params, x_q, k_cache, v_cache, *, n_heads: int, kv_mask=None):
+    """Single-query cross-attention against precomputed encoder K/V.
+
+    k_cache/v_cache: ``[B, H, S, Dh]`` computed once at session join.
+    kv_mask: ``[B, S]`` bool (True = valid encoder position).
+    """
+    B, _, D = x_q.shape
+    dh = D // n_heads
+    q = split_heads(linear(x_q, p["q"]), n_heads) * dh**-0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v_cache)
+    return linear(merge_heads(out), p["o"])
+
+
+def precompute_cross_kv(p: Params, enc_out, *, n_heads: int):
+    """Encoder K/V for cross-attention, computed once per session join."""
+    k = split_heads(linear(enc_out, p["k"]), n_heads)
+    v = split_heads(linear(enc_out, p["v"]), n_heads)
+    return k, v
+
+
+# -- misc --------------------------------------------------------------------
+
+def pad_mask_to_bias(mask_b_s, tq: int):
+    """[B, S] 0/1 -> additive [B, 1, tq, S]."""
+    return jnp.where(mask_b_s[:, None, None, :].astype(bool), 0.0, NEG_INF) * jnp.ones(
+        (1, 1, tq, 1)
+    )
+
+
+def causal_bias(T: int):
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    return jnp.where(j <= i, 0.0, NEG_INF)[None, None]

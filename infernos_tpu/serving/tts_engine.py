@@ -1,0 +1,339 @@
+"""Streaming TTS engine: slot-batched continuous AR decode on TPU.
+
+Capability parity: replaces the reference's ``HelloSippyRTPipe`` +
+``InfernTTSWorker`` pair (``HelloSippyTTSRT/HelloSippyRTPipe.py:81-259``,
+``Cluster/InfernTTSWorker.py:83-92``): batched autoregressive mel decode with
+per-session termination inside a live batch, postnet + vocoder + chunk
+smoother per emission, per-session sample-offset dispatch and ``None`` EOS.
+
+TPU-first design (SURVEY.md section 7):
+
+- **Slots, not queues.**  A fixed ``[B]``-slot state pytree lives on device;
+  sessions join by writing their encoder K/V + speaker embedding into a free
+  slot (one jitted ``join`` call) and leave by flag -- the running decode jit
+  never re-compiles.  This implements the batch-merge the reference left
+  unfinished (dead re-pad code, ``HelloSippyRTPipe.py:122-135``).
+- **Fixed emission schedule.**  Chunks of 8/16/32 mel frames (each frame =
+  16 ms at 16 kHz) follow the reference's adaptive first-chunk schedule
+  (``HelloSippyRT.py:67-69``: emit 8, 8, 16, then wider) with one compiled
+  program per chunk size -- low first-frame latency, high steady-state
+  throughput.
+- **One host<->device transfer per tick** per direction: all slots' audio
+  comes back in a single ``[B, samples]`` array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import amendnet as amd
+from ..models import hifigan as hfg
+from ..models import speecht5 as st5
+from ..utils.logging import get_logger
+
+log = get_logger("serving.tts")
+
+
+@dataclasses.dataclass(frozen=True)
+class TTSEngineConfig:
+    batch_slots: int = 8  # reference TTS batch, Cluster/InfernTTSWorker.py:57
+    max_text_tokens: int = 96  # reference splits text to <=128 chars
+    max_steps: int = 512  # decoder steps (x reduction_factor mel frames)
+    pre_frames: int = 4  # vocoder left-context carry-over (HelloSippyRTPipe.py:230)
+    chunk_schedule: Sequence[int] = (8, 8, 16, 32)  # mel frames per emission
+    min_steps: int = 4  # no stop before this many decoder steps
+    stop_threshold: float = 0.5
+    sample_rate: int = 16000
+    dtype: Any = jnp.float32
+
+
+class TTSState(NamedTuple):
+    """Device-resident slot-batched decode state (a donated pytree)."""
+
+    cache: st5.DecoderCache
+    enc_mask: jnp.ndarray  # [B, S] bool
+    spk: jnp.ndarray  # [B, spk_dim]
+    prev_mel: jnp.ndarray  # [B, 1, M] last emitted mel frame (AR input)
+    pos: jnp.ndarray  # [B] int32 decoder step per slot
+    stopped: jnp.ndarray  # [B] bool stop-token fired
+    active: jnp.ndarray  # [B] bool slot occupied
+    mel_ctx: jnp.ndarray  # [B, pre_frames, M] raw-mel vocoder context
+
+
+class _Session:
+    __slots__ = ("sid", "slot", "callback", "frames_sent", "chunks_recv",
+                 "max_frames", "t_start", "t_first", "cancelled")
+
+    def __init__(self, sid, slot, callback, max_frames):
+        self.sid = sid
+        self.slot = slot
+        self.callback = callback
+        self.frames_sent = 0
+        self.chunks_recv = 0
+        self.max_frames = max_frames
+        self.t_start = time.monotonic()
+        self.t_first: Optional[float] = None
+        self.cancelled = False
+
+
+class TTSEngine:
+    """Host-side scheduler around the jitted decode/vocode programs.
+
+    Not thread-safe by itself; drive from one thread (see
+    ``serving.tts_worker``) or an asyncio loop.
+    """
+
+    def __init__(self, params: Dict[str, Any], cfg: st5.SpeechT5Config,
+                 voc_params: Dict[str, Any], voc_cfg: hfg.HifiGanConfig,
+                 ecfg: TTSEngineConfig = TTSEngineConfig(),
+                 amd_params: Optional[Dict[str, Any]] = None,
+                 rng_seed: int = 0):
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.voc_cfg = voc_cfg
+        self.params = params
+        self.voc_params = voc_params
+        acfg = amd.AmendNetConfig(
+            num_mels=cfg.num_mel_bins,
+            frame_size=voc_cfg.total_upsample,
+            pre_frames=ecfg.pre_frames // 2,
+            post_frames=0,
+        )
+        self.amd_cfg = acfg
+        self.amd_params = amd_params
+        B = ecfg.batch_slots
+        self.state = self._init_state()
+        self.sessions: List[Optional[_Session]] = [None] * B
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._next_sid = 0
+
+        # -- compiled programs ------------------------------------------------
+        self._join_fn = jax.jit(self._join, donate_argnums=(0,))
+        self._leave_fn = jax.jit(self._leave, donate_argnums=(0,))
+        self._decode_fns = {
+            n: jax.jit(partial(self._decode_chunk, n_frames=n), donate_argnums=(0,))
+            for n in sorted(set(ecfg.chunk_schedule))
+        }
+        self._vocode_fns = {
+            n: jax.jit(partial(self._vocode, n_frames=n))
+            for n in sorted(set(ecfg.chunk_schedule))
+        }
+
+    # -- state management -----------------------------------------------------
+
+    def _init_state(self) -> TTSState:
+        cfg, ecfg = self.cfg, self.ecfg
+        B, M = ecfg.batch_slots, cfg.num_mel_bins
+        cache = st5.init_cache(cfg, B, ecfg.max_steps, ecfg.max_text_tokens,
+                               dtype=ecfg.dtype)
+        return TTSState(
+            cache=cache,
+            enc_mask=jnp.zeros((B, ecfg.max_text_tokens), bool),
+            spk=jnp.zeros((B, cfg.speaker_embedding_dim), ecfg.dtype),
+            prev_mel=jnp.zeros((B, 1, M), ecfg.dtype),
+            pos=jnp.zeros((B,), jnp.int32),
+            stopped=jnp.zeros((B,), bool),
+            active=jnp.zeros((B,), bool),
+            mel_ctx=jnp.zeros((B, ecfg.pre_frames, M), ecfg.dtype),
+        )
+
+    def _join(self, state: TTSState, slot, input_ids, attn_mask, spk):
+        """Encode one session's text and write it into ``slot`` (jitted)."""
+        cfg = self.cfg
+        spk = spk.astype(self.ecfg.dtype)
+        enc = st5.encode_text(self.params, cfg, input_ids, attn_mask)  # [1,S,D]
+        enc = enc.astype(self.ecfg.dtype)
+        ks, vs = [], []
+        for lp in self.params["dec_layers"]:
+            from ..models import layers as L
+
+            k, v = L.precompute_cross_kv(lp["cross_attn"], enc,
+                                         n_heads=cfg.decoder_attention_heads)
+            ks.append(k)
+            vs.append(v)
+        ck = jnp.stack(ks)  # [L,1,H,S,Dh]
+        cv = jnp.stack(vs)
+        cache = state.cache
+        zeros_k = jnp.zeros_like(cache.self_k[:, 0])
+        cache = cache._replace(
+            cross_k=jax.lax.dynamic_update_index_in_dim(cache.cross_k, ck[:, 0], slot, 1),
+            cross_v=jax.lax.dynamic_update_index_in_dim(cache.cross_v, cv[:, 0], slot, 1),
+            self_k=jax.lax.dynamic_update_index_in_dim(cache.self_k, zeros_k, slot, 1),
+            self_v=jax.lax.dynamic_update_index_in_dim(cache.self_v, zeros_k, slot, 1),
+        )
+        upd = lambda buf, val: jax.lax.dynamic_update_index_in_dim(buf, val, slot, 0)
+        M = self.cfg.num_mel_bins
+        return state._replace(
+            cache=cache,
+            enc_mask=upd(state.enc_mask, attn_mask[0].astype(bool)),
+            spk=upd(state.spk, spk[0]),
+            prev_mel=upd(state.prev_mel, jnp.zeros((1, M), self.ecfg.dtype)),
+            pos=upd(state.pos, jnp.int32(0)),
+            stopped=upd(state.stopped, False),
+            active=upd(state.active, True),
+            mel_ctx=upd(state.mel_ctx, jnp.zeros((self.ecfg.pre_frames, M), self.ecfg.dtype)),
+        )
+
+    def _leave(self, state: TTSState, slot):
+        upd = lambda buf, val: jax.lax.dynamic_update_index_in_dim(buf, val, slot, 0)
+        return state._replace(active=upd(state.active, False),
+                              stopped=upd(state.stopped, False))
+
+    # -- decode ---------------------------------------------------------------
+
+    def _decode_chunk(self, state: TTSState, rng, *, n_frames: int):
+        """Run ``n_frames // r`` AR steps for all slots (jitted, donated)."""
+        cfg, ecfg = self.cfg, self.ecfg
+        r = cfg.reduction_factor
+        n_steps = n_frames // r
+
+        def step(carry, _):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            x = st5.decoder_prenet(
+                self.params, cfg, state.prev_mel, state.spk,
+                step_offset=state.pos, dropout_rng=sub,
+            )
+            h, cache = st5.decode_step(self.params, cfg, x, state.cache,
+                                       state.pos, enc_mask=state.enc_mask)
+            mel, logits = st5.feat_and_prob(self.params, cfg, h)  # [B,r,M],[B,r]
+            stop_now = jnp.any(jax.nn.sigmoid(logits) > ecfg.stop_threshold, axis=-1)
+            stop_now = jnp.logical_and(stop_now, state.pos >= ecfg.min_steps)
+            stopped = jnp.logical_or(state.stopped, stop_now)
+            run = jnp.logical_and(state.active, jnp.logical_not(state.stopped))
+            new_pos = jnp.where(run, state.pos + 1, state.pos)
+            state = state._replace(
+                cache=cache,
+                prev_mel=mel[:, -1:, :],
+                pos=new_pos,
+                stopped=stopped,
+            )
+            return (state, rng), (mel, run)
+
+        (state, _), (mels, run_flags) = jax.lax.scan(
+            step, (state, rng), None, length=n_steps
+        )
+        # mels: [n_steps, B, r, M] -> [B, n_frames, M]; run_flags: [n_steps, B]
+        mels = mels.transpose(1, 0, 2, 3).reshape(-1, n_frames, cfg.num_mel_bins)
+        frame_valid = jnp.repeat(run_flags.T, r, axis=1)  # [B, n_frames]
+        return state, mels, frame_valid
+
+    def _vocode(self, state_mel_ctx, mels, *, n_frames: int):
+        """Postnet + vocoder + smoother over chunk with left context (jitted)."""
+        cfg, ecfg = self.cfg, self.ecfg
+        pre = ecfg.pre_frames
+        full = jnp.concatenate([state_mel_ctx, mels], axis=1)  # [B, pre+C, M]
+        refined = st5.postnet(self.params, cfg, full)
+        audio = hfg.apply(self.voc_params, self.voc_cfg, refined)
+        fs = self.voc_cfg.total_upsample
+        if self.amd_params is not None:
+            acfg = dataclasses.replace(
+                self.amd_cfg, chunk_frames=n_frames,
+                pre_frames=pre, post_frames=0,
+            )
+            chunk_audio = amd.apply(self.amd_params, acfg, refined, audio)
+        else:
+            chunk_audio = audio[:, pre * fs :]
+        new_ctx = full[:, -pre:, :]
+        return chunk_audio, new_ctx
+
+    # -- public API -----------------------------------------------------------
+
+    def free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self.sessions) if s is None]
+
+    def start_session(self, input_ids: np.ndarray, speaker_emb: np.ndarray,
+                      callback: Callable[[Optional[np.ndarray]], None],
+                      max_frames: Optional[int] = None) -> int:
+        """Join a session into a free slot.  Returns session id.
+
+        ``callback(audio_chunk | None)``: float32 mono at ``sample_rate``;
+        ``None`` marks end-of-stream (reference EOS protocol,
+        ``HelloSippyRTPipe.py:252-255``).
+        """
+        free = self.free_slots()
+        if not free:
+            raise RuntimeError("no free TTS slots")
+        slot = free[0]
+        S = self.ecfg.max_text_tokens
+        ids = np.zeros((1, S), np.int32)
+        mask = np.zeros((1, S), np.int32)
+        n = min(len(input_ids), S)
+        ids[0, :n] = input_ids[:n]
+        mask[0, :n] = 1
+        self.state = self._join_fn(
+            self.state, jnp.int32(slot), jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(speaker_emb[None].astype(np.float32)),
+        )
+        sid = self._next_sid
+        self._next_sid += 1
+        sess = _Session(sid, slot, callback,
+                        max_frames or (self.ecfg.max_steps * self.cfg.reduction_factor))
+        self.sessions[slot] = sess
+        return sid
+
+    def cancel_session(self, sid: int) -> None:
+        """Barge-in: stop generating for this session (slot mask, no recompile;
+        reference does this with a Python flag, ``Cluster/TTSSession.py:62-68``)."""
+        for s in self.sessions:
+            if s is not None and s.sid == sid:
+                s.cancelled = True
+                return
+
+    @property
+    def n_active(self) -> int:
+        return sum(1 for s in self.sessions if s is not None)
+
+    def step(self) -> bool:
+        """Run one emission for all live sessions; dispatch audio chunks.
+
+        Returns True if any session is still active.
+        """
+        if self.n_active == 0:
+            return False
+        # pick chunk size from the schedule position of the *youngest* session
+        # (keeps first-frame latency low when a new session joins; reference
+        # adaptive oschedule, HelloSippyRT.py:67-69)
+        sched = self.ecfg.chunk_schedule
+        youngest = min(s.chunks_recv for s in self.sessions if s is not None)
+        n_frames = sched[min(youngest, len(sched) - 1)]
+
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, mels, frame_valid = self._decode_fns[n_frames](self.state, sub)
+        audio, new_ctx = self._vocode_fns[n_frames](self.state.mel_ctx, mels)
+        self.state = self.state._replace(mel_ctx=new_ctx)
+
+        audio_np = np.asarray(audio)
+        valid_np = np.asarray(frame_valid)
+        stopped_np = np.asarray(self.state.stopped)
+        fs = self.voc_cfg.total_upsample
+
+        for slot, sess in enumerate(self.sessions):
+            if sess is None:
+                continue
+            if sess.cancelled:
+                sess.callback(None)
+                self.sessions[slot] = None
+                self.state = self._leave_fn(self.state, jnp.int32(slot))
+                continue
+            nvalid = min(int(valid_np[slot].sum()),
+                         sess.max_frames - sess.frames_sent)
+            sess.chunks_recv += 1
+            if nvalid > 0:
+                if sess.t_first is None:
+                    sess.t_first = time.monotonic()
+                sess.callback(audio_np[slot, : nvalid * fs])
+                sess.frames_sent += nvalid
+            over = sess.frames_sent >= sess.max_frames
+            if bool(stopped_np[slot]) or over or nvalid == 0:
+                sess.callback(None)
+                self.sessions[slot] = None
+                self.state = self._leave_fn(self.state, jnp.int32(slot))
+        return self.n_active > 0

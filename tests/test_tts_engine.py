@@ -1,0 +1,143 @@
+"""Streaming TTS engine tests: slot join/leave, chunked emission, EOS, barge-in."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from infernos_tpu.models import speecht5 as st5
+from infernos_tpu.models import hifigan as hfg
+from infernos_tpu.serving.tts_engine import TTSEngine, TTSEngineConfig
+
+TINY = st5.SpeechT5Config(
+    vocab_size=40,
+    hidden_size=32,
+    encoder_layers=1,
+    encoder_attention_heads=2,
+    encoder_ffn_dim=64,
+    decoder_layers=1,
+    decoder_attention_heads=2,
+    decoder_ffn_dim=64,
+    num_mel_bins=16,
+    speech_decoder_prenet_units=16,
+    speech_decoder_prenet_layers=1,
+    speech_decoder_prenet_dropout=0.5,
+    speech_decoder_postnet_units=16,
+    speech_decoder_postnet_layers=2,
+    reduction_factor=2,
+    speaker_embedding_dim=8,
+    max_text_positions=64,
+    max_speech_positions=256,
+    encoder_max_relative_position=16,
+)
+VOC = hfg.HifiGanConfig(
+    model_in_dim=16,
+    upsample_initial_channel=16,
+    upsample_rates=(4, 4),
+    upsample_kernel_sizes=(8, 8),
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = st5.init_params(k1, TINY)
+    voc_params = hfg.init_params(k2, VOC)
+    ecfg = TTSEngineConfig(
+        batch_slots=4, max_text_tokens=16, max_steps=32,
+        pre_frames=4, chunk_schedule=(8, 16), min_steps=2,
+        stop_threshold=2.0,  # sigmoid can't exceed 1 -> never stops; we bound by max_frames
+    )
+    return TTSEngine(params, TINY, voc_params, VOC, ecfg)
+
+
+def _collect_session(engine, ids, max_frames=24):
+    chunks = []
+    done = []
+    rng = np.random.default_rng(0)
+    engine.start_session(
+        np.asarray(ids, np.int32),
+        rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32),
+        lambda a: done.append(True) if a is None else chunks.append(a),
+        max_frames=max_frames,
+    )
+    while engine.step():
+        pass
+    return chunks, done
+
+
+def test_single_session_emits_and_ends(engine):
+    chunks, done = _collect_session(engine, [5, 6, 7, 8])
+    assert done == [True]
+    total = sum(len(c) for c in chunks)
+    fs = VOC.total_upsample
+    assert total == 24 * fs  # max_frames * samples-per-frame
+    # first chunk honors the 8-frame first-emission schedule
+    assert len(chunks[0]) == 8 * fs
+    for c in chunks:
+        assert np.isfinite(c).all() and np.abs(c).max() <= 1.0
+
+
+def test_two_sessions_staggered_join(engine):
+    """Continuous batching: session B joins while A is mid-stream."""
+    got = {"a": [], "b": []}
+    ended = {"a": False, "b": False}
+
+    def cb(key):
+        def f(audio):
+            if audio is None:
+                ended[key] = True
+            else:
+                got[key].append(len(audio))
+        return f
+
+    rng = np.random.default_rng(1)
+    spk = rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32)
+    engine.start_session(np.array([3, 4, 5], np.int32), spk, cb("a"), max_frames=32)
+    engine.step()  # A gets its first chunk alone
+    assert got["a"] and not got["b"]
+    engine.start_session(np.array([6, 7], np.int32), spk, cb("b"), max_frames=16)
+    while engine.step():
+        pass
+    fs = VOC.total_upsample
+    assert sum(got["a"]) == 32 * fs
+    assert sum(got["b"]) == 16 * fs
+    assert ended["a"] and ended["b"]
+    assert engine.n_active == 0
+
+
+def test_cancel_session(engine):
+    """Barge-in: cancelling mid-stream emits EOS and frees the slot."""
+    chunks, done = [], []
+    rng = np.random.default_rng(2)
+    sid = engine.start_session(
+        np.array([9, 10], np.int32),
+        rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32),
+        lambda a: done.append(True) if a is None else chunks.append(a),
+        max_frames=32,
+    )
+    engine.step()
+    n_before = len(chunks)
+    engine.cancel_session(sid)
+    engine.step()
+    assert done == [True]
+    assert len(chunks) == n_before  # no audio after cancel
+    assert engine.n_active == 0
+
+
+def test_slots_exhausted_raises(engine):
+    rng = np.random.default_rng(3)
+    spk = rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32)
+    cbs = []
+    for i in range(4):
+        cbs.append([])
+        engine.start_session(np.array([2 + i], np.int32), spk,
+                             cbs[-1].append, max_frames=8)
+    with pytest.raises(RuntimeError):
+        engine.start_session(np.array([2], np.int32), spk, lambda a: None)
+    while engine.step():
+        pass
+    assert engine.n_active == 0
