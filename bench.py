@@ -32,7 +32,13 @@ def main() -> None:
     from infernos_tpu.models import hifigan as hfg
     from infernos_tpu.serving.tts_engine import TTSEngine, TTSEngineConfig
 
-    dev = jax.devices()[0]
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError:
+        # axon tunnel unavailable; record a CPU-fallback measurement rather
+        # than no measurement at all
+        jax.config.update("jax_platforms", "cpu")
+        dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
 
     # Full-size SpeechT5 + HiFi-GAN dims (microsoft/speecht5_tts class);

@@ -1,0 +1,97 @@
+"""RTP endpoint: one per call leg, tying UDP <-> jitter/VAD <-> pacer.
+
+Capability parity with ``RTP/InfernRTPEPoint.py``: owns the paced output
+worker and the inbound stream, binds a UDP socket from the port allocator,
+filters received packets by source address (``:49-56``), swaps the output
+worker when ptime/codec changes on re-INVITE (``update()``, ``:58-66``),
+and forwards chunks/markers to the writer (``soundout()``, ``:81-91``).
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+from dataclasses import dataclass
+from typing import Optional, Tuple, Type, Union
+
+from ..audio.chunk import AudioChunk
+from ..audio.markers import ASMarkerGeneric
+from ..utils.logging import get_logger
+from .ingest import AudioInput, RTPInStream, RTPIngest
+from .pacer import RTPOutputWorker
+from .udp import RTPPortAllocator, UdpServer
+
+log = get_logger("media.endpoint")
+
+
+@dataclass
+class RTPParams:
+    """Negotiated media parameters (reference ``RTP/RTPParams.py:5-13``)."""
+
+    rtp_target: Optional[Tuple[str, int]]
+    codec: Type  # codec class (GenCodec subclass)
+    out_ptime: int = 20
+
+
+class RTPEndpoint:
+    """One call leg's media endpoint."""
+
+    def __init__(self, ring: RTPIngest, params: RTPParams,
+                 allocator: RTPPortAllocator, bind_ip: str = "127.0.0.1",
+                 get_direct_soundout=None):
+        self.id = uuid_mod.uuid4()
+        self.ring = ring
+        self.params = params
+        self.allocator = allocator
+        self.firstframe = True
+        codec = params.codec()
+        self.stream_in = RTPInStream(ring, codec,
+                                     get_direct_soundout=get_direct_soundout)
+        self.udp = allocator.bind_server(bind_ip, self._rtp_received)
+        self.writer = RTPOutputWorker(params.codec(), self._send_pkt,
+                                      ptime_ms=params.out_ptime)
+        self.writer.start()
+
+    # -- rx ------------------------------------------------------------------
+    def _rtp_received(self, data: bytes, address, rtime: float) -> None:
+        if self.params.rtp_target is not None:
+            # source-address filter: both host and port must match
+            if (address[0] != self.params.rtp_target[0]
+                    or address[1] != self.params.rtp_target[1]):
+                return
+        self.stream_in.rtp_received(data, address, rtime)
+
+    # -- tx ------------------------------------------------------------------
+    def _send_pkt(self, pkt: bytes) -> None:
+        if self.params.rtp_target is not None:
+            self.udp.send_to(pkt, self.params.rtp_target)
+
+    def soundout(self, chunk: Union[AudioChunk, ASMarkerGeneric]) -> None:
+        if self.firstframe and isinstance(chunk, AudioChunk):
+            log.debug("first frame out on %s (%d samples)", self.id,
+                      len(chunk.audio))
+            self.firstframe = False
+        self.writer.soundout(chunk)
+
+    # -- control -------------------------------------------------------------
+    def connect(self, ain: AudioInput) -> None:
+        self.stream_in.stream_connect(ain)
+
+    def update(self, params: RTPParams) -> None:
+        """Re-INVITE: retarget and swap the writer if ptime/codec changed."""
+        old = self.params
+        self.params = params
+        if (params.out_ptime != old.out_ptime or params.codec is not old.codec):
+            self.writer.end()
+            self.writer = RTPOutputWorker(params.codec(), self._send_pkt,
+                                          ptime_ms=params.out_ptime)
+            self.writer.start()
+        self.stream_in.stream_update()
+
+    @property
+    def local_addr(self) -> Tuple[str, int]:
+        return self.udp.laddr
+
+    def shutdown(self) -> None:
+        self.writer.end()
+        self.udp.shutdown()
+        self.allocator.release(self.udp.laddr[1])

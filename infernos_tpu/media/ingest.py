@@ -1,0 +1,162 @@
+"""RTP ingest ring: one thread per media-plane process feeding VAD.
+
+Capability parity with ``RTP/InfernRTPIngest.py``: a single worker thread
+consumes a global packet queue of work items (packet / stream-update /
+stream-connect), owns the batched VAD worker, and per stream runs the
+jitter buffer, fills ERS gaps with codec silence, enforces strict lseq
+ordering, and feeds payload bytes to the VAD channel
+(``InfernRTPIngest.py:76-98,113-158``).
+
+``AudioInput`` callbacks may be UUIDs resolved to direct in-process soundout
+functions at connect time -- the RTP-to-RTP fast path that bypasses RPC for
+bridged legs (``InfernRTPIngest.py:58-60``, ``Cluster/InfernRTPActor.py:67-69``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import uuid as uuid_mod
+from dataclasses import dataclass
+from typing import Callable, Optional, Union
+
+from ..audio.chunk import AudioChunk
+from ..models import vad as vad_m
+from ..serving.vad_engine import VADChannel, VADWorker
+from ..utils.threads import WrkThread
+from .jitter import JitterBuffer, RTPFrameType
+from .rtp import RTPParseError
+
+
+@dataclass
+class AudioInput:
+    """Pair of stream callbacks; values may be UUIDs resolved at connect."""
+
+    audio_in: Optional[Union[Callable, uuid_mod.UUID]] = None
+    vad_chunk_in: Optional[Union[Callable, uuid_mod.UUID]] = None
+
+
+class _WIPkt:
+    __slots__ = ("stream", "data", "address", "rtime")
+
+    def __init__(self, stream, data, address, rtime):
+        self.stream, self.data, self.address, self.rtime = stream, data, address, rtime
+
+
+class _WIStreamUpdate:
+    __slots__ = ("stream",)
+
+    def __init__(self, stream):
+        self.stream = stream
+
+
+class _WIStreamConnect:
+    __slots__ = ("stream", "ain")
+
+    def __init__(self, stream, ain):
+        self.stream, self.ain = stream, ain
+
+
+class RTPInStream:
+    """Per-leg inbound stream: jitter buffer -> codec gap fill -> VAD."""
+
+    jb_size = 8
+
+    def __init__(self, ring: "RTPIngest", codec,
+                 get_direct_soundout: Optional[Callable] = None,
+                 input_sr: int = 8000):
+        self.ring = ring
+        self.codec = codec
+        self.get_direct_soundout = get_direct_soundout
+        self.jbuf = JitterBuffer(self.jb_size)
+        self.last_output_lseq: Optional[int] = None
+        self.npkts = 0
+        self.ain = AudioInput()
+        self.ain_lock = threading.Lock()
+        self.vchan = VADChannel(self._audio_chunk_out, self._vad_chunk_out,
+                                codec, sample_rate=input_sr)
+
+    # -- producer side (UDP thread) -----------------------------------------
+    def rtp_received(self, data: bytes, address, rtime: float) -> None:
+        self.ring.pkt_queue.put(_WIPkt(self, data, address, rtime))
+
+    def stream_update(self) -> None:
+        self.ring.pkt_queue.put(_WIStreamUpdate(self))
+
+    def stream_connect(self, ain: AudioInput) -> None:
+        if isinstance(ain.vad_chunk_in, uuid_mod.UUID):
+            ain.vad_chunk_in = self.get_direct_soundout(ain.vad_chunk_in)
+        if isinstance(ain.audio_in, uuid_mod.UUID):
+            ain.audio_in = self.get_direct_soundout(ain.audio_in)
+        self.ring.pkt_queue.put(_WIStreamConnect(self, ain))
+
+    # -- ring thread ---------------------------------------------------------
+    def _proc(self, wi, vad_worker: VADWorker) -> None:
+        if isinstance(wi, _WIStreamUpdate):
+            # re-INVITE: fresh jitter buffer + sequence state
+            self.jbuf = JitterBuffer(self.jb_size)
+            self.last_output_lseq = None
+            return
+        if isinstance(wi, _WIStreamConnect):
+            with self.ain_lock:
+                self.ain = wi.ain
+            return
+        try:
+            frames = self.jbuf.udp_in(wi.data)
+        except RTPParseError:
+            return
+        self.npkts += 1
+        for f in frames:
+            if f.type == RTPFrameType.ERS:
+                self.last_output_lseq = f.lseq_end
+                payload = self.codec.silence(f.ts_diff)
+            else:
+                assert (self.last_output_lseq is None
+                        or f.lseq == self.last_output_lseq + 1), \
+                    (f.lseq, self.last_output_lseq)
+                self.last_output_lseq = f.lseq
+                payload = f.rtp_data
+            self.vchan.ingest(vad_worker, payload)
+
+    # -- VAD callbacks (worker thread) ---------------------------------------
+    def _audio_chunk_out(self, chunk: AudioChunk, active: bool) -> None:
+        chunk.active = active
+        with self.ain_lock:
+            cb = self.ain.audio_in
+        if cb is not None:
+            cb(chunk)
+
+    def _vad_chunk_out(self, chunk) -> None:
+        with self.ain_lock:
+            cb = self.ain.vad_chunk_in
+        if cb is not None:
+            cb(chunk)
+
+
+class RTPIngest(WrkThread):
+    """The shared ingest ring thread (one per media-plane process)."""
+
+    def __init__(self, vad_model_factory: Optional[Callable[[int], object]] = None,
+                 window: int = 768):
+        super().__init__(name="rtp-ingest")
+        self.pkt_queue: "queue.Queue" = queue.Queue()
+        factory = vad_model_factory or (lambda b: vad_m.EnergyVAD(b))
+        self.vad_worker = VADWorker(factory, window=window)
+
+    def start(self) -> None:
+        self.vad_worker.start()
+        super().start()
+
+    def run(self) -> None:
+        while self.should_run():
+            wi = self.pkt_queue.get()
+            if wi is None:
+                break
+            wi.stream._proc(wi, self.vad_worker)
+
+    def on_stop(self) -> None:
+        self.pkt_queue.put(None)
+
+    def stop(self, join: bool = True) -> None:
+        super().stop(join=join)
+        self.vad_worker.stop(join=join)

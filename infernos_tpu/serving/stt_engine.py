@@ -1,0 +1,319 @@
+"""STT serving engine: bucketed Whisper encode + slot-batched greedy decode.
+
+Capability parity: replaces the reference's ctranslate2-based
+``InfernSTTWorker`` (``Cluster/InfernSTTWorker.py``): per-request language /
+task prompt (``:125-134``), ``no_speech_prob`` extraction, rolling decoder
+context (last 224 tokens, ``:121``), <=32 s audio bound (``:18``).
+
+TPU-first design:
+
+- **Bucketed encode**: mel frontend + encoder compile once per audio-length
+  bucket (8/16/32 s); short utterances cost proportionally less than the
+  reference's fixed 30 s padding.
+- **Continuous decode**: greedy steps are slot-batched across concurrent
+  utterances with per-slot positions and KV caches (same pattern as the TTS
+  engine) -- a long utterance doesn't block short ones behind it (the
+  reference batches <=4 whole utterances lockstep instead).
+- Argmax + EOS detection on device; one small [B] transfer per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import HOP, log_mel_jax
+from ..models import layers as L
+from ..models import whisper as wsp
+from ..utils.logging import get_logger
+
+log = get_logger("serving.stt")
+
+
+# Whisper large-v3 special-token defaults; override from a real tokenizer
+# when available (ids differ between v2/v3 vocabularies).
+LANG_TOKENS_V3 = {
+    "en": 50259, "zh": 50260, "de": 50261, "es": 50262, "ru": 50263,
+    "ko": 50264, "fr": 50265, "ja": 50266, "pt": 50267, "tr": 50268,
+    "pl": 50269, "ca": 50270, "nl": 50271, "ar": 50272, "sv": 50273,
+    "it": 50274, "id": 50275, "hi": 50276, "fi": 50277, "vi": 50278,
+}
+TASK_TRANSCRIBE_V3 = 50360
+TASK_TRANSLATE_V3 = 50359
+NO_TIMESTAMPS_V3 = 50364
+NO_SPEECH_V3 = 50362
+EOT_V3 = 50257
+SOT_V3 = 50258
+SOT_PREV_V3 = 50362  # <|startofprev|> is 50362 in v2; engines pass real ids
+
+
+@dataclasses.dataclass(frozen=True)
+class STTEngineConfig:
+    batch_slots: int = 8
+    buckets_s: Sequence[int] = (8, 16, 32)  # audio-length buckets
+    sample_rate: int = 16000
+    max_new_tokens: int = 224
+    max_prompt_tokens: int = 32
+    context_tokens: int = 224  # rolling decoder context bound (reference :121)
+    dtype: Any = jnp.float32
+    lang_tokens: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: dict(LANG_TOKENS_V3))
+    task_transcribe: int = TASK_TRANSCRIBE_V3
+    task_translate: int = TASK_TRANSLATE_V3
+    no_timestamps: int = NO_TIMESTAMPS_V3
+    no_speech: int = NO_SPEECH_V3
+    suppress_tokens: Sequence[int] = ()
+
+    @property
+    def max_total_tokens(self) -> int:
+        return self.max_prompt_tokens + self.max_new_tokens
+
+
+@dataclasses.dataclass
+class STTRequest:
+    """One utterance to transcribe (reference ``STTRequest``,
+    ``Cluster/STTSession.py:10-27``)."""
+
+    audio: np.ndarray  # float32 @16 kHz
+    text_cb: Callable[["STTResult"], None]
+    lang: str = "en"
+    mode: str = "transcribe"  # or "translate"
+    context: Optional[np.ndarray] = None  # previous token ids
+    max_ns_prob: float = 0.5
+
+
+@dataclasses.dataclass
+class STTResult:
+    tokens: List[int]
+    no_speech_prob: float
+    duration: float
+    inf_time: float
+    text: str = ""
+
+
+class _Slot:
+    __slots__ = ("req", "tokens", "t_start", "prompt_len", "ns_prob")
+
+    def __init__(self, req, prompt_len, t_start):
+        self.req = req
+        self.tokens: List[int] = []
+        self.prompt_len = prompt_len
+        self.t_start = t_start
+        self.ns_prob = 0.0
+
+
+class STTEngine:
+    def __init__(self, params: Dict[str, Any], cfg: wsp.WhisperConfig,
+                 ecfg: STTEngineConfig = STTEngineConfig(),
+                 detokenize: Optional[Callable[[List[int]], str]] = None):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.detokenize = detokenize or (lambda toks: " ".join(map(str, toks)))
+        B = ecfg.batch_slots
+        self.max_enc_len = (max(ecfg.buckets_s) * ecfg.sample_rate // HOP) // 2
+        self.cache = wsp.init_cache(cfg, B, ecfg.max_total_tokens,
+                                    self.max_enc_len, dtype=ecfg.dtype)
+        self.enc_mask = jnp.zeros((B, self.max_enc_len), bool)
+        self.pos = jnp.zeros((B,), jnp.int32)
+        self.cur_tok = jnp.zeros((B,), jnp.int32)
+        self.done = jnp.ones((B,), bool)
+        self.slots: List[Optional[_Slot]] = [None] * B
+
+        self._encode_fns = {
+            s: jax.jit(partial(self._encode_bucket, n_samples=s * ecfg.sample_rate))
+            for s in ecfg.buckets_s
+        }
+        self._prefill_fn = jax.jit(self._prefill)
+        self._join_fn = jax.jit(self._join, donate_argnums=(0,))
+        self._step_fn = jax.jit(self._step, donate_argnums=(0,))
+
+    # -- jitted programs ------------------------------------------------------
+
+    def _encode_bucket(self, audio, *, n_samples: int):
+        """[1, n_samples] waveform -> encoder states (mel fused on device)."""
+        mel = log_mel_jax(audio, n_mels=self.cfg.num_mel_bins)
+        return wsp.encode(self.params, self.cfg, mel.astype(self.ecfg.dtype))
+
+    def _prefill(self, tokens, enc_out):
+        """Teacher-forced prompt pass that also returns self-attn K/V.
+
+        tokens ``[1, P]`` (P = max_prompt_tokens, left-padded with zeros is
+        NOT supported -- prompts are right-padded and masked by length).
+        Returns (logits ``[1, P, V]``, self_k, self_v ``[L, 1, H, P, Dh]``).
+        """
+        cfg = self.cfg
+        B, T = tokens.shape
+        H = cfg.decoder_attention_heads
+        x = self.params["tok_embed"]["w"][tokens] + self.params["dec_pos"]["w"][:T]
+        x = x.astype(self.ecfg.dtype)
+        causal = L.causal_bias(T)
+        ks, vs = [], []
+        for lp in self.params["dec_layers"]:
+            h_in = L.layer_norm(x, lp["ln1"])
+            k = L.split_heads(L.linear(h_in, lp["self_attn"]["k"]), H)
+            v = L.split_heads(L.linear(h_in, lp["self_attn"]["v"]), H)
+            ks.append(k)
+            vs.append(v)
+            h = L.attention(lp["self_attn"], h_in, n_heads=H, mask=causal)
+            x = x + h
+            h = L.attention(lp["cross_attn"], L.layer_norm(x, lp["ln2"]), enc_out,
+                            n_heads=H)
+            x = x + h
+            h = L.layer_norm(x, lp["ln3"])
+            h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False),
+                         lp["fc2"])
+            x = x + h
+        x = L.layer_norm(x, self.params["dec_ln"])
+        logits = jnp.einsum("btd,vd->btv", x, self.params["tok_embed"]["w"])
+        return logits, jnp.stack(ks), jnp.stack(vs)
+
+    def _join(self, cache, enc_mask, pos, cur_tok, done, slot,
+              enc_out, enc_len, self_k, self_v, prompt_len, first_tok):
+        """Write one prefilled session into ``slot`` (donated state)."""
+        S = enc_out.shape[1]
+        ck, cv = [], []
+        for lp in self.params["dec_layers"]:
+            k, v = L.precompute_cross_kv(lp["cross_attn"], enc_out,
+                                         n_heads=self.cfg.decoder_attention_heads)
+            ck.append(k)
+            cv.append(v)
+        ck = jnp.stack(ck)[:, 0]  # [L,H,S,Dh]
+        cv = jnp.stack(cv)[:, 0]
+        pad_s = self.max_enc_len - S
+        ck = jnp.pad(ck, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        cv = jnp.pad(cv, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        P = self_k.shape[3]
+        pad_t = self.ecfg.max_total_tokens - P
+        sk = jnp.pad(self_k[:, 0], ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        sv = jnp.pad(self_v[:, 0], ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        cache = cache._replace(
+            cross_k=jax.lax.dynamic_update_index_in_dim(cache.cross_k, ck, slot, 1),
+            cross_v=jax.lax.dynamic_update_index_in_dim(cache.cross_v, cv, slot, 1),
+            self_k=jax.lax.dynamic_update_index_in_dim(cache.self_k, sk, slot, 1),
+            self_v=jax.lax.dynamic_update_index_in_dim(cache.self_v, sv, slot, 1),
+        )
+        mask_row = (jnp.arange(self.max_enc_len) < enc_len)
+        enc_mask = jax.lax.dynamic_update_index_in_dim(enc_mask, mask_row, slot, 0)
+        pos = jax.lax.dynamic_update_index_in_dim(pos, prompt_len, slot, 0)
+        cur_tok = jax.lax.dynamic_update_index_in_dim(cur_tok, first_tok, slot, 0)
+        done = jax.lax.dynamic_update_index_in_dim(done, False, slot, 0)
+        return cache, enc_mask, pos, cur_tok, done
+
+    def _step(self, cache, enc_mask, pos, cur_tok, done):
+        """One greedy step for all slots."""
+        logits, cache = wsp.decode_step(self.params, self.cfg, cur_tok, cache,
+                                        pos, enc_mask=enc_mask)
+        if self.ecfg.suppress_tokens:
+            sup = jnp.asarray(list(self.ecfg.suppress_tokens))
+            logits = logits.at[:, sup].set(L.NEG_INF)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        is_eos = nxt == self.cfg.eos_token_id
+        new_done = jnp.logical_or(done, is_eos)
+        pos = jnp.where(done, pos, pos + 1)
+        cur_tok = jnp.where(new_done, cur_tok, nxt)
+        return cache, pos, cur_tok, new_done, nxt
+
+    # -- public API -----------------------------------------------------------
+
+    def free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self.slots) if s is None]
+
+    @property
+    def n_active(self) -> int:
+        return sum(1 for s in self.slots if s is not None)
+
+    def _bucket_for(self, n: int) -> int:
+        for s in self.ecfg.buckets_s:
+            if n <= s * self.ecfg.sample_rate:
+                return s
+        return max(self.ecfg.buckets_s)
+
+    def _build_prompt(self, req: STTRequest) -> List[int]:
+        e = self.ecfg
+        lang = e.lang_tokens.get(req.lang, next(iter(e.lang_tokens.values())))
+        task = e.task_translate if req.mode == "translate" else e.task_transcribe
+        prompt = []
+        if req.context is not None and len(req.context):
+            ctx = list(req.context)[-(e.max_prompt_tokens - 4):]
+            prompt.extend(ctx)
+        prompt += [self.cfg.sot_token_id, lang, task, e.no_timestamps]
+        return prompt[-e.max_prompt_tokens:]
+
+    def submit(self, req: STTRequest) -> int:
+        """Encode + prefill + join one utterance.  Returns slot index."""
+        free = self.free_slots()
+        if not free:
+            raise RuntimeError("no free STT slots")
+        slot = free[0]
+        e = self.ecfg
+        bucket = self._bucket_for(len(req.audio))
+        n = bucket * e.sample_rate
+        audio = np.zeros((1, n), np.float32)
+        audio[0, : min(len(req.audio), n)] = req.audio[:n]
+        enc = self._encode_fns[bucket](jnp.asarray(audio))
+        enc_len = enc.shape[1]
+
+        prompt = self._build_prompt(req)
+        P = e.max_prompt_tokens
+        toks = np.zeros((1, P), np.int32)
+        toks[0, : len(prompt)] = prompt
+        logits, sk, sv = self._prefill_fn(jnp.asarray(toks), enc)
+        # no-speech probability from the SOT position's logits
+        sot_idx = len(prompt) - 4  # position of sot within prompt
+        sot_logits = np.asarray(logits[0, sot_idx + 0])
+        probs = np.exp(sot_logits - sot_logits.max())
+        probs /= probs.sum()
+        ns_prob = float(probs[e.no_speech]) if e.no_speech < len(probs) else 0.0
+
+        first_tok = int(np.asarray(logits[0, len(prompt) - 1]).argmax())
+        (self.cache, self.enc_mask, self.pos, self.cur_tok, self.done) = self._join_fn(
+            self.cache, self.enc_mask, self.pos, self.cur_tok, self.done,
+            jnp.int32(slot), enc, jnp.int32(enc_len), sk, sv,
+            jnp.int32(len(prompt)), jnp.int32(first_tok),
+        )
+        sess = _Slot(req, len(prompt), time.monotonic())
+        if first_tok != self.cfg.eos_token_id:
+            sess.tokens.append(first_tok)
+        self.slots[slot] = sess
+        sess.ns_prob = ns_prob
+        return slot
+
+    def step(self) -> bool:
+        """One greedy decode step across all active slots; harvest finishers."""
+        if self.n_active == 0:
+            return False
+        (self.cache, self.pos, self.cur_tok, self.done, nxt) = self._step_fn(
+            self.cache, self.enc_mask, self.pos, self.cur_tok, self.done)
+        nxt_np = np.asarray(nxt)
+        done_np = np.asarray(self.done)
+        pos_np = np.asarray(self.pos)
+        for i, sess in enumerate(self.slots):
+            if sess is None:
+                continue
+            tok = int(nxt_np[i])
+            finished = bool(done_np[i])
+            if not finished and tok != self.cfg.eos_token_id:
+                sess.tokens.append(tok)
+            hit_limit = (pos_np[i] - sess.prompt_len) >= self.ecfg.max_new_tokens
+            if finished or hit_limit:
+                self._finish(i, sess)
+        return self.n_active > 0
+
+    def _finish(self, slot: int, sess: _Slot) -> None:
+        self.slots[slot] = None
+        req = sess.req
+        res = STTResult(
+            tokens=sess.tokens,
+            no_speech_prob=sess.ns_prob,
+            duration=len(req.audio) / self.ecfg.sample_rate,
+            inf_time=time.monotonic() - sess.t_start,
+        )
+        res.text = self.detokenize(res.tokens)
+        req.text_cb(res)

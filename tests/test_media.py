@@ -1,0 +1,178 @@
+"""Media plane tests: RTP parse/build, jitter buffer semantics, pacer, endpoint."""
+
+import time
+
+import numpy as np
+import pytest
+
+from infernos_tpu.audio.chunk import AudioChunk
+from infernos_tpu.audio.codecs import G711Codec
+from infernos_tpu.media.jitter import JitterBuffer, RTPFrameType
+from infernos_tpu.media.rtp import RTPPacket, RTPPacketizer, RTPParseError
+from infernos_tpu.media.pacer import RTPOutputWorker
+
+
+def test_rtp_roundtrip():
+    p = RTPPacket(2, True, 0, 123, 456789, 0xDEADBEEF, b"\xff" * 160)
+    q = RTPPacket.parse(p.build())
+    assert (q.marker, q.ptype, q.seq, q.ts, q.ssrc, q.payload) == (
+        True, 0, 123, 456789, 0xDEADBEEF, b"\xff" * 160)
+
+
+def test_rtp_parse_errors():
+    with pytest.raises(RTPParseError):
+        RTPPacket.parse(b"short")
+    with pytest.raises(RTPParseError):
+        RTPPacket.parse(b"\x00" * 20)  # version 0
+
+
+def test_packetizer_seq_ts_and_skip():
+    rs = RTPPacketizer(8000, 20, ssrc=1, seq0=100)
+    p1 = RTPPacket.parse(rs.next_pkt(160, 0, b"a" * 160))
+    p2 = RTPPacket.parse(rs.next_pkt(160, 0, b"b" * 160))
+    assert p1.marker and not p2.marker
+    assert p2.seq == p1.seq + 1
+    assert p2.ts == (p1.ts + 160) & 0xFFFFFFFF
+    rs.skip(3)  # 3 idle packet times
+    p3 = RTPPacket.parse(rs.next_pkt(160, 0, b"c" * 160))
+    assert p3.seq == p2.seq + 1  # seq NOT consumed by skip
+    assert p3.ts == (p2.ts + 160 + 3 * 160) & 0xFFFFFFFF
+    assert p3.marker  # talkspurt start after silence
+
+
+def _mk_pkts(n, seq0=0, ts0=0, ssrc=7):
+    out = []
+    for i in range(n):
+        out.append(RTPPacket(2, False, 0, (seq0 + i) & 0xFFFF, ts0 + 160 * i,
+                             ssrc, bytes([i % 251]) * 160).build())
+    return out
+
+
+def test_jitter_in_order():
+    jb = JitterBuffer(8)
+    lseqs = []
+    for d in _mk_pkts(20):
+        for f in jb.udp_in(d):
+            assert f.type == RTPFrameType.AUDIO
+            lseqs.append(f.lseq)
+    assert lseqs == list(range(20))
+
+
+def test_jitter_reorder():
+    jb = JitterBuffer(8)
+    pkts = _mk_pkts(6)
+    order = [0, 2, 1, 3, 5, 4]
+    got = []
+    for i in order:
+        got.extend(jb.udp_in(pkts[i]))
+    assert [f.lseq for f in got] == list(range(6))
+    assert all(f.type == RTPFrameType.AUDIO for f in got)
+
+
+def test_jitter_loss_produces_ers():
+    jb = JitterBuffer(4)
+    pkts = _mk_pkts(20)
+    got = []
+    for i, d in enumerate(pkts):
+        if i in (3, 4):  # lose two consecutive packets
+            continue
+        got.extend(jb.udp_in(d))
+    kinds = [(f.type, f.lseq) for f in got]
+    ers = [f for f in got if f.type == RTPFrameType.ERS]
+    assert len(ers) == 1
+    e = ers[0]
+    assert (e.lseq_start, e.lseq_end) == (3, 4)
+    assert e.ts_diff == 320  # two packets x 160 samples
+    # strict lseq continuity for the consumer
+    lseq = None
+    for f in got:
+        nxt = f.lseq_end if f.type == RTPFrameType.ERS else f.lseq
+        if lseq is not None:
+            start = f.lseq_start if f.type == RTPFrameType.ERS else f.lseq
+            assert start == lseq + 1
+        lseq = nxt
+
+
+def test_jitter_duplicate_dropped():
+    jb = JitterBuffer(8)
+    pkts = _mk_pkts(3)
+    out = []
+    for d in [pkts[0], pkts[0], pkts[1], pkts[1], pkts[2]]:
+        out.extend(jb.udp_in(d))
+    assert [f.lseq for f in out] == [0, 1, 2]
+
+
+def test_jitter_seq_wraparound():
+    jb = JitterBuffer(8)
+    out = []
+    for d in _mk_pkts(10, seq0=0xFFFB):
+        out.extend(jb.udp_in(d))
+    assert [f.lseq for f in out] == list(range(0xFFFB, 0xFFFB + 10))
+
+
+def test_pacer_paces_and_packetizes():
+    codec = G711Codec()
+    sent = []
+    w = RTPOutputWorker(codec, lambda pkt: sent.append((time.monotonic(), pkt)),
+                        ptime_ms=20)
+    w.start()
+    try:
+        t = np.arange(1600) / 8000.0
+        audio = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)  # 200 ms
+        t0 = time.monotonic()
+        w.soundout(AudioChunk(audio, 8000))
+        deadline = time.monotonic() + 3.0
+        while len(sent) < 10 and time.monotonic() < deadline:
+            time.sleep(0.01)
+    finally:
+        w.end()
+    assert len(sent) >= 10
+    # packets are valid RTP with 160-byte payloads and consecutive seq
+    seqs, stamps = [], []
+    for ts, pkt in sent[:10]:
+        p = RTPPacket.parse(pkt)
+        assert len(p.payload) == 160
+        seqs.append(p.seq)
+        stamps.append(ts)
+    assert seqs == list(range(seqs[0], seqs[0] + 10))
+    # pacing: 10 packets of 20 ms should take ~180 ms (first sends immediately)
+    span = stamps[-1] - stamps[0]
+    assert 0.12 < span < 0.40, span
+
+
+def test_endpoint_udp_loopback():
+    """Two endpoints exchanging real UDP on localhost: TTS->RTP->VAD segs."""
+    from infernos_tpu.media.endpoint import RTPEndpoint, RTPParams
+    from infernos_tpu.media.ingest import AudioInput, RTPIngest
+    from infernos_tpu.media.udp import RTPPortAllocator
+
+    ring = RTPIngest()
+    ring.start()
+    alloc = RTPPortAllocator(26000, 26500)
+    try:
+        ep_a = RTPEndpoint(ring, RTPParams(None, G711Codec), alloc)
+        ep_b = RTPEndpoint(ring, RTPParams(None, G711Codec), alloc)
+        # point them at each other
+        ep_a.params.rtp_target = ep_b.local_addr
+        ep_b.params.rtp_target = ep_a.local_addr
+
+        segs, raw_flags = [], []
+        ep_b.connect(AudioInput(audio_in=lambda c: raw_flags.append(c.active),
+                                vad_chunk_in=segs.append))
+
+        sr = 8000
+        t = np.arange(sr) / sr
+        speech = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        stream = np.concatenate([np.zeros(2000, np.float32), speech,
+                                 np.zeros(sr, np.float32)])
+        ep_a.soundout(AudioChunk(stream, sr))
+        deadline = time.monotonic() + 8.0
+        while not segs and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert segs, "no VAD segment arrived over the UDP loopback"
+        assert 0.5 < segs[0].duration < 2.0
+        assert any(raw_flags) and not all(raw_flags)
+    finally:
+        ep_a.shutdown()
+        ep_b.shutdown()
+        ring.stop()
