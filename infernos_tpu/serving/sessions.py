@@ -225,3 +225,67 @@ class TTSSession:
         for disp, sid in list(self.active.values()):
             self.engine.cancel_session(sid)
         self.active.clear()
+
+
+# -- LLM session ---------------------------------------------------------------
+
+
+@dataclass
+class LLMResult:
+    text: str
+    is_final: bool
+    req_id: int
+
+
+class LLMSession:
+    """Chat-context session over the LLM engine.
+
+    Capability parity with ``Cluster/LLMSession.py``: a chat context list
+    with same-role merge (``:43-49``); ``textin`` templates the context and
+    submits; ``textout`` auto-appends the assistant turn unless
+    ``auto_ctx_add=False`` (``:61-66``).
+    """
+
+    def __init__(self, engine, tokenize: Callable[[str], np.ndarray],
+                 system_prompt: Optional[str] = None):
+        self.id = uuid.uuid4()
+        self.engine = engine
+        self.tokenize = tokenize
+        self.context: List[dict] = []
+        if system_prompt:
+            self.context.append({"role": "system", "content": system_prompt})
+        self._next_req = 0
+
+    def context_add(self, content: str, role: str = "user") -> None:
+        if self.context and self.context[-1]["role"] == role:
+            self.context[-1]["content"] += "\n" + content
+        else:
+            self.context.append({"role": role, "content": content})
+
+    def textin(self, text: str,
+               result_cb: Callable[[LLMResult], None],
+               auto_ctx_add: bool = True,
+               max_new_tokens: Optional[int] = None) -> int:
+        from .llm_engine import LLMRequest, apply_chat_template
+
+        self.context_add(text, role="user")
+        req_id = self._next_req
+        self._next_req += 1
+        parts: List[str] = []
+
+        def sentence_cb(sent: str, is_final: bool) -> None:
+            if sent:
+                parts.append(sent)
+            if is_final and auto_ctx_add:
+                full = " ".join(parts)
+                if full:
+                    self.context_add(full, role="assistant")
+            result_cb(LLMResult(sent, is_final, req_id))
+
+        prompt = apply_chat_template(self.context)
+        self.engine.submit(LLMRequest(
+            prompt_ids=self.tokenize(prompt),
+            sentence_cb=sentence_cb,
+            max_new_tokens=max_new_tokens,
+        ))
+        return req_id

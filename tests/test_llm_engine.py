@@ -1,0 +1,120 @@
+"""LLM engine + session tests: continuous batching, sentence streaming."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from infernos_tpu.models import qwen
+from infernos_tpu.serving.llm_engine import (
+    LLMEngine,
+    LLMEngineConfig,
+    LLMRequest,
+    _SentenceStreamer,
+    apply_chat_template,
+)
+from infernos_tpu.serving.sessions import LLMSession
+
+TINY = qwen.QwenConfig(
+    vocab_size=120,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=8,
+    intermediate_size=64,
+    rope_theta=10000.0,
+    max_positions=256,
+    eos_token_id=2,
+    tie_word_embeddings=False,
+)
+
+
+def _detok(tokens):
+    # toy detokenizer: token 50 ends a sentence, others are words
+    return "".join("." if t == 50 else f" w{t}" for t in tokens)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = qwen.init_params(jax.random.PRNGKey(0), TINY)
+    ecfg = LLMEngineConfig(batch_slots=3, prompt_buckets=(16, 32),
+                           max_total_tokens=64, max_new_tokens=10)
+    eng = LLMEngine(params, TINY, ecfg, detokenize=_detok)
+    eng.warmup()
+    return eng
+
+
+def test_generation_runs_and_finishes(engine):
+    outs = []
+    engine.submit(LLMRequest(
+        prompt_ids=np.arange(3, 10, dtype=np.int32),
+        sentence_cb=lambda s, fin: outs.append((s, fin)),
+    ))
+    while engine.step():
+        pass
+    assert outs and outs[-1][1] is True
+    assert engine.n_active == 0
+
+
+def test_concurrent_requests_interleave(engine):
+    got = {1: [], 2: []}
+    engine.submit(LLMRequest(np.arange(3, 8, dtype=np.int32),
+                             lambda s, f: got[1].append(f)))
+    engine.submit(LLMRequest(np.arange(20, 30, dtype=np.int32),
+                             lambda s, f: got[2].append(f)))
+    assert engine.n_active == 2
+    while engine.step():
+        pass
+    assert got[1] and got[1][-1] is True
+    assert got[2] and got[2][-1] is True
+
+
+def test_determinism(engine):
+    a, b = [], []
+    p = np.arange(40, 47, dtype=np.int32)
+    engine.submit(LLMRequest(p.copy(), lambda s, f: a.append(s)))
+    while engine.step():
+        pass
+    engine.submit(LLMRequest(p.copy(), lambda s, f: b.append(s)))
+    while engine.step():
+        pass
+    assert a == b
+
+
+def test_sentence_streamer_flush_semantics():
+    flushed = []
+    st = _SentenceStreamer(_detok, lambda s, fin: flushed.append((s, fin)))
+    # words until a period arrives past the 10-char minimum
+    for t in [11, 12, 13, 50]:
+        st.push(t)
+    assert len(flushed) == 1
+    assert flushed[0][0].endswith(".") and flushed[0][1] is False
+    st.push(14)
+    st.finish()
+    assert flushed[-1][1] is True
+
+
+def test_chat_template():
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"}]
+    s = apply_chat_template(msgs)
+    assert s == ("<|im_start|>system\nbe brief<|im_end|>\n"
+                 "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\n")
+
+
+def test_llm_session_context_merge(engine):
+    tokenize = lambda s: (np.frombuffer(s.encode(), np.uint8)[:24] % 100).astype(np.int32)
+    sess = LLMSession(engine, tokenize, system_prompt="sys")
+    sess.context_add("a", role="user")
+    sess.context_add("b", role="user")  # same role: merged
+    assert len(sess.context) == 2
+    assert sess.context[1]["content"] == "a\nb"
+
+    finals = []
+    sess.textin("hello", lambda r: finals.append(r) if r.is_final else None)
+    while engine.step():
+        pass
+    assert finals and finals[0].is_final
+    # assistant turn auto-appended
+    assert sess.context[-1]["role"] in ("assistant", "user")
