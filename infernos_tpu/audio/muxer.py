@@ -37,22 +37,28 @@ class TrackQueue:
         chunk = item.resample(self.out_sr)
         self._buf = np.concatenate([self._buf, chunk.audio])
 
-    def get(self) -> Optional[np.ndarray]:
+    def get(self, flush: bool = False) -> Optional[np.ndarray]:
         """Emit one fixed ``qsize`` block, or None if not enough buffered.
 
+        ``flush=True`` (the pacer's idle tick, reference ``mix.idle()``,
+        ``RTP/RTPOutputWorker.py:97``) pads a partial tail block with silence
+        so stream ends drain instead of sticking below the block size.
         Markers positioned inside the emitted span fire now (the pacer has
         reached them).
         """
         if len(self._buf) < self.qsize:
-            # Drain any markers stranded at/before the buffer head when the
-            # stream has gone quiet (reference fires callbacks on drain,
-            # ``Core/OutputMuxer.py:37-44``).
+            if not flush or (len(self._buf) == 0 and not self._markers):
+                return None
             if len(self._buf) == 0 and self._markers:
+                # marker-only drain (reference fires callbacks on drain,
+                # ``Core/OutputMuxer.py:37-44``)
                 for _, m in self._markers:
                     if isinstance(m, ASMarkerSentDoneCB):
                         m.on_proc()
                 self._markers.clear()
-            return None
+                return None
+            pad = np.zeros(self.qsize - len(self._buf), np.float32)
+            self._buf = np.concatenate([self._buf, pad])
         out, self._buf = self._buf[: self.qsize], self._buf[self.qsize :]
         still: List[tuple] = []
         for pos, m in self._markers:
@@ -83,10 +89,10 @@ class MTMuxer:
             tq = self.tracks[item.track_id] = TrackQueue(self.out_sr, self.qsize)
         tq.put(item)
 
-    def get(self) -> Optional[np.ndarray]:
+    def get(self, flush: bool = False) -> Optional[np.ndarray]:
         blocks = []
         for tq in self.tracks.values():
-            b = tq.get()
+            b = tq.get(flush=flush)
             if b is not None:
                 blocks.append(b)
         if not blocks:

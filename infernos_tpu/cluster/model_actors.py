@@ -1,0 +1,218 @@
+"""Model-serving actors: TTS, STT, LLM.
+
+Capability parity with the reference's per-model Ray actors:
+
+- :class:`TTSActor` <-> ``Cluster/InfernTTSActor.py``: ``start(lang,
+  output_sr)``, session CRUD, ``tts_session_say`` / ``stop_saying``,
+  ``get_rand_voice_id`` (``:21-52``);
+- :class:`STTActor` <-> ``Cluster/InfernSTTActor.py``: session CRUD +
+  ``stt_session_soundin`` (``:38-53``);
+- :class:`LLMActor` <-> ``Cluster/InfernLLMActor.py``: warm-up on start
+  (``:30-40``), session CRUD, ``llm_session_textin`` /
+  ``llm_session_context_add`` (``:45-67``).
+
+Each actor owns one slot-batched engine plus its driver thread; the actor
+mailbox serializes session bookkeeping while the engine free-runs.
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..models import hifigan as hfg
+from ..models import presets
+from ..models import qwen
+from ..models import speecht5 as st5
+from ..models import whisper as wsp
+from ..models.tokenizers import ByteTokenizer, CharTokenizer
+from ..serving.driver import EngineDriver
+from ..serving.llm_engine import LLMEngine, LLMEngineConfig
+from ..serving.sessions import (
+    LLMSession,
+    STTSession,
+    TTSRequest,
+    TTSSession,
+)
+from ..serving.speakers import SpeakerBank
+from ..serving.stt_engine import STTEngine, STTEngineConfig
+from ..serving.tts_engine import TTSEngine, TTSEngineConfig
+from ..utils.logging import get_logger
+from .actors import Actor
+
+log = get_logger("cluster.models")
+
+
+class TTSActor(Actor):
+    def __init__(self, tiny: bool = True, seed: int = 0,
+                 ecfg: Optional[TTSEngineConfig] = None,
+                 params=None, voc_params=None):
+        self.tiny = tiny
+        self.seed = seed
+        self.ecfg = ecfg
+        self._params = params
+        self._voc_params = voc_params
+        self.sessions: Dict[uuid_mod.UUID, TTSSession] = {}
+        self.engine: Optional[TTSEngine] = None
+        self.driver: Optional[EngineDriver] = None
+
+    def start(self, lang: str = "en", output_sr: int = 16000) -> None:
+        cfg = presets.SPEECHT5_TINY if self.tiny else presets.SPEECHT5_FULL
+        voc = presets.HIFIGAN_TINY if self.tiny else presets.HIFIGAN_FULL
+        k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
+        params = self._params or st5.init_params(k1, cfg)
+        voc_params = self._voc_params or hfg.init_params(k2, voc)
+        ecfg = self.ecfg or TTSEngineConfig(
+            batch_slots=4 if self.tiny else 8,
+            max_text_tokens=32 if self.tiny else 96,
+            max_steps=64 if self.tiny else 512,
+            stop_threshold=2.0,  # random weights never emit a stop token
+        )
+        self.lang = lang
+        self.tokenizer = CharTokenizer()
+        self.bank = SpeakerBank.synthetic(dim=cfg.speaker_embedding_dim)
+        self.engine = TTSEngine(params, cfg, voc_params, voc, ecfg)
+        self.engine.warmup()
+        self.driver = EngineDriver(self.engine, name="tts")
+        self.driver.start()
+        log.info("TTSActor started (lang=%s tiny=%s)", lang, self.tiny)
+
+    def on_stop(self) -> None:
+        if self.driver:
+            self.driver.stop(join=False)
+
+    # -- session API ----------------------------------------------------------
+    def new_tts_session(self) -> uuid_mod.UUID:
+        sess = TTSSession(self.engine, tokenize=self.tokenizer,
+                          speaker_bank=self.bank)
+        self.sessions[sess.id] = sess
+        return sess.id
+
+    def tts_session_start(self, sess_id: uuid_mod.UUID, soundout: Callable) -> None:
+        self.sessions[sess_id].start(soundout)
+
+    def tts_session_say(self, sess_id: uuid_mod.UUID, req: TTSRequest):
+        say_id = self.sessions[sess_id].say(req)
+        self.driver.kick()
+        return say_id
+
+    def tts_session_stop_saying(self, sess_id: uuid_mod.UUID, say_id) -> bool:
+        return self.sessions[sess_id].stop_saying(say_id)
+
+    def tts_session_end(self, sess_id: uuid_mod.UUID) -> None:
+        sess = self.sessions.pop(sess_id, None)
+        if sess is not None:
+            sess.end()
+
+    def get_rand_voice_id(self) -> int:
+        return self.bank.rand_id()
+
+
+class STTActor(Actor):
+    def __init__(self, tiny: bool = True, seed: int = 0,
+                 ecfg: Optional[STTEngineConfig] = None, params=None):
+        self.tiny = tiny
+        self.seed = seed
+        self.ecfg = ecfg
+        self._params = params
+        self.sessions: Dict[uuid_mod.UUID, STTSession] = {}
+        self.engine: Optional[STTEngine] = None
+        self.driver: Optional[EngineDriver] = None
+
+    def start(self) -> None:
+        cfg = presets.WHISPER_TINY_TEST if self.tiny else presets.WHISPER_LARGE_V3
+        params = self._params or wsp.init_params(jax.random.PRNGKey(self.seed), cfg)
+        ecfg = self.ecfg or (
+            STTEngineConfig(batch_slots=4, buckets_s=(2, 8),
+                            max_new_tokens=8, max_prompt_tokens=8,
+                            lang_tokens={"en": 10, "pt": 11}, task_transcribe=12,
+                            task_translate=13, no_timestamps=14, no_speech=4)
+            if self.tiny else STTEngineConfig())
+        self.engine = STTEngine(params, cfg, ecfg)
+        self.engine.warmup()
+        self.driver = EngineDriver(self.engine, name="stt")
+        self.driver.start()
+        log.info("STTActor started (tiny=%s)", self.tiny)
+
+    def on_stop(self) -> None:
+        if self.driver:
+            self.driver.stop(join=False)
+
+    def new_stt_session(self, keep_context: bool = False) -> uuid_mod.UUID:
+        eng = self.engine
+
+        class _KickingEngine:
+            """Submit then kick the driver (engine free-runs)."""
+
+            ecfg = eng.ecfg
+
+            def submit(inner_self, req):
+                slot = eng.submit(req)
+                self.driver.kick()
+                return slot
+
+        sess = STTSession(_KickingEngine(), keep_context=keep_context)
+        self.sessions[sess.id] = sess
+        return sess.id
+
+    def stt_session_soundin(self, sess_id: uuid_mod.UUID, req) -> None:
+        self.sessions[sess_id].soundin(req)
+
+    def stt_session_end(self, sess_id: uuid_mod.UUID) -> None:
+        sess = self.sessions.pop(sess_id, None)
+        if sess is not None:
+            sess.stop()
+
+
+class LLMActor(Actor):
+    def __init__(self, tiny: bool = True, seed: int = 0,
+                 ecfg: Optional[LLMEngineConfig] = None, params=None):
+        self.tiny = tiny
+        self.seed = seed
+        self.ecfg = ecfg
+        self._params = params
+        self.sessions: Dict[uuid_mod.UUID, LLMSession] = {}
+        self.engine: Optional[LLMEngine] = None
+        self.driver: Optional[EngineDriver] = None
+        self.tokenizer = ByteTokenizer()
+
+    def start(self) -> None:
+        cfg = presets.QWEN_TINY if self.tiny else presets.QWEN25_14B
+        params = self._params or qwen.init_params(jax.random.PRNGKey(self.seed), cfg)
+        ecfg = self.ecfg or (
+            LLMEngineConfig(batch_slots=2, prompt_buckets=(64, 128),
+                            max_total_tokens=192, max_new_tokens=24)
+            if self.tiny else LLMEngineConfig())
+        self.engine = LLMEngine(params, cfg, ecfg,
+                                detokenize=self.tokenizer.detokenize)
+        self.engine.warmup()
+        self.driver = EngineDriver(self.engine, name="llm")
+        self.driver.start()
+        log.info("LLMActor started (tiny=%s)", self.tiny)
+
+    def on_stop(self) -> None:
+        if self.driver:
+            self.driver.stop(join=False)
+
+    def new_llm_session(self, system_prompt: str = "") -> uuid_mod.UUID:
+        sess = LLMSession(self.engine, tokenize=self.tokenizer,
+                          system_prompt=system_prompt)
+        self.sessions[sess.id] = sess
+        return sess.id
+
+    def llm_session_textin(self, sess_id: uuid_mod.UUID, text: str,
+                           result_cb, auto_ctx_add: bool = True) -> int:
+        req_id = self.sessions[sess_id].textin(text, result_cb,
+                                               auto_ctx_add=auto_ctx_add)
+        self.driver.kick()
+        return req_id
+
+    def llm_session_context_add(self, sess_id: uuid_mod.UUID, content: str,
+                                role: str = "user") -> None:
+        self.sessions[sess_id].context_add(content, role=role)
+
+    def llm_session_end(self, sess_id: uuid_mod.UUID) -> None:
+        self.sessions.pop(sess_id, None)

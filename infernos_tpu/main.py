@@ -1,0 +1,120 @@
+"""CLI daemon entry point.
+
+Capability parity with ``Infernos.py:28-92``: ``python -m infernos_tpu
+[-f] [-L logfile] [-i pidfile] config.yaml`` -- parse flags, daemonize
+unless foreground, build the validated config, spawn the actor graph
+(RTP -> apps -> SIP), and block for the process lifetime.
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import signal
+import sys
+import threading
+from typing import Dict, List, Optional
+
+from .cluster.actors import ActorHandle, spawn, stop_all
+from .cluster.rtp_actor import RTPActor
+from .config import InfernConfig
+from .config.config import AIAProfileConf, LTProfileConf
+from .utils.logging import get_logger
+
+log = get_logger("main")
+
+
+def build_cluster(iconf: InfernConfig, tiny: bool = False,
+                  bind_ip: Optional[str] = None) -> Dict[str, ActorHandle]:
+    """Spawn and wire the full actor graph from a validated config."""
+    from .apps.ai_attendant import AIAActor
+    from .apps.live_translator import LTActor
+    from .sip.agent import SIPAgent
+
+    handles: Dict[str, ActorHandle] = {}
+    rtp_actr = spawn(
+        RTPActor,
+        min_port=iconf.rtp_conf.min_port,
+        max_port=iconf.rtp_conf.max_port,
+        bind_ip=bind_ip or iconf.sip_conf.bind[0],
+        name="rtp",
+    )
+    handles["rtp"] = rtp_actr
+
+    app_actors: Dict[str, ActorHandle] = {}
+    for key, prof in iconf.apps.items():
+        if isinstance(prof, LTProfileConf):
+            h = spawn(LTActor, prof, tiny=tiny, name=key)
+        elif isinstance(prof, AIAProfileConf):
+            h = spawn(AIAActor, prof, tiny=tiny, name=key)
+        else:
+            continue
+        app_actors[key] = h
+        handles[key] = h
+
+    sip_actr = spawn(SIPAgent, iconf, rtp_actr, app_actors, name="sip",
+                     max_concurrency=2)
+    handles["sip"] = sip_actr
+    for key, h in app_actors.items():
+        h.ask_sync("start", h, sip_actr, rtp_actr, timeout=900)
+    return handles
+
+
+def main(argv: List[str]) -> int:
+    foreground = False
+    logfile: Optional[str] = None
+    pidfile: Optional[str] = None
+    tiny = bool(os.environ.get("INFERNOS_TINY"))
+    try:
+        opts, args = getopt.getopt(argv[1:], "fL:i:t")
+    except getopt.GetoptError as e:
+        print(f"usage: {argv[0]} [-f] [-L logfile] [-i pidfile] config.yaml",
+              file=sys.stderr)
+        return 2
+    for o, a in opts:
+        if o == "-f":
+            foreground = True
+        elif o == "-L":
+            logfile = a
+        elif o == "-i":
+            pidfile = a
+        elif o == "-t":
+            tiny = True
+    if len(args) != 1:
+        print(f"usage: {argv[0]} [-f] [-L logfile] [-i pidfile] config.yaml",
+              file=sys.stderr)
+        return 2
+
+    if not foreground:
+        # daemonize (reference uses sippy.misc.daemonize, Infernos.py:57-58)
+        if os.fork() > 0:
+            return 0
+        os.setsid()
+        if os.fork() > 0:
+            os._exit(0)
+        sink = open(logfile, "a") if logfile else open(os.devnull, "w")
+        os.dup2(sink.fileno(), 1)
+        os.dup2(sink.fileno(), 2)
+    if pidfile:
+        with open(pidfile, "w") as f:
+            f.write(str(os.getpid()))
+
+    from .utils.platform import ensure_backend
+
+    platform = ensure_backend()
+    log.info("compute platform: %s", platform)
+    iconf = InfernConfig(args[0])
+    build_cluster(iconf, tiny=tiny)
+    log.info("infernos_tpu up; SIP on %s:%d", *iconf.sip_conf.bind)
+
+    stopper = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *a: stopper.set())
+    signal.signal(signal.SIGINT, lambda *a: stopper.set())
+    stopper.wait()
+    log.info("shutting down")
+    stop_all()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

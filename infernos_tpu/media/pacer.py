@@ -67,7 +67,9 @@ class RTPOutputWorker(WrkThread):
             try:
                 item = self.data_queue.get(block=False)
             except queue.Empty:
-                block = mix.get()
+                # idle tick: flush partial tails + fire drained markers
+                # (reference mix.idle(), RTP/RTPOutputWorker.py:97)
+                block = mix.get(flush=True)
                 if block is None:
                     # idle: advance the schedule, skip ts, keep cadence
                     if stime is not None:

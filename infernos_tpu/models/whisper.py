@@ -131,6 +131,9 @@ def encode(params, cfg: WhisperConfig, mel):
     x = jax.nn.gelu(L.conv1d(x, params["conv1"], padding=1), approximate=False)
     x = jax.nn.gelu(L.conv1d(x, params["conv2"], stride=2, padding=1), approximate=False)
     S = x.shape[1]
+    assert S <= params["enc_pos"].shape[0], (
+        f"audio too long: {S} frames > max_source_positions "
+        f"{params['enc_pos'].shape[0]}")
     x = x + params["enc_pos"][:S].astype(x.dtype)
     for lp in params["enc_layers"]:
         h = L.attention(lp["attn"], L.layer_norm(x, lp["ln1"]),

@@ -18,6 +18,7 @@ runs SPMD over the ``tp`` axis with XLA-inserted all-reduces on ICI.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -111,6 +112,7 @@ class LLMEngine:
         self.cur_tok = jnp.zeros((B,), jnp.int32)
         self.done = jnp.ones((B,), bool)
         self.slots: List[Optional[_Slot]] = [None] * B
+        self._lock = threading.RLock()
 
         self._prefill_fns = {
             n: jax.jit(partial(self._prefill_bucket, n_tokens=n))
@@ -166,6 +168,10 @@ class LLMEngine:
             self.cache, self.pos, self.cur_tok, self.done)
 
     def submit(self, req: LLMRequest) -> int:
+        with self._lock:
+            return self._submit_locked(req)
+
+    def _submit_locked(self, req: LLMRequest) -> int:
         free = self.free_slots()
         if not free:
             raise RuntimeError("no free LLM slots")
@@ -193,6 +199,10 @@ class LLMEngine:
         return slot
 
     def step(self) -> bool:
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> bool:
         if self.n_active == 0:
             return False
         (self.cache, self.pos, self.cur_tok, nxt) = self._step_fn(

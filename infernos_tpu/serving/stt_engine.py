@@ -20,6 +20,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from functools import partial
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -125,6 +126,7 @@ class STTEngine:
         self.cur_tok = jnp.zeros((B,), jnp.int32)
         self.done = jnp.ones((B,), bool)
         self.slots: List[Optional[_Slot]] = [None] * B
+        self._lock = threading.RLock()
 
         self._encode_fns = {
             s: jax.jit(partial(self._encode_bucket, n_samples=s * ecfg.sample_rate))
@@ -246,8 +248,25 @@ class STTEngine:
         prompt += [self.cfg.sot_token_id, lang, task, e.no_timestamps]
         return prompt[-e.max_prompt_tokens:]
 
+    def warmup(self) -> None:
+        """Compile every bucket + prefill + join + step program up front
+        (reference pre-warm trick, ``Cluster/InfernLLMActor.py:30-40``) so
+        the first real utterance sees steady-state latency."""
+        with self._lock:
+            req = STTRequest(
+                audio=np.zeros(16, np.float32), text_cb=lambda r: None)
+            for b in self.ecfg.buckets_s:
+                req.audio = np.zeros(b * self.ecfg.sample_rate, np.float32)
+                self._submit_locked(req)
+                while self._step_locked():
+                    pass
+
     def submit(self, req: STTRequest) -> int:
         """Encode + prefill + join one utterance.  Returns slot index."""
+        with self._lock:
+            return self._submit_locked(req)
+
+    def _submit_locked(self, req: STTRequest) -> int:
         free = self.free_slots()
         if not free:
             raise RuntimeError("no free STT slots")
@@ -287,6 +306,10 @@ class STTEngine:
 
     def step(self) -> bool:
         """One greedy decode step across all active slots; harvest finishers."""
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> bool:
         if self.n_active == 0:
             return False
         (self.cache, self.pos, self.cur_tok, self.done, nxt) = self._step_fn(

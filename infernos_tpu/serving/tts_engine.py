@@ -25,6 +25,7 @@ TPU-first design (SURVEY.md section 7):
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from functools import partial
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence
@@ -109,6 +110,9 @@ class TTSEngine:
         self.amd_cfg = acfg
         self.amd_params = amd_params
         B = ecfg.batch_slots
+        # serializes engine-state mutation between the driver thread (step)
+        # and submitter threads (start_session/cancel)
+        self._lock = threading.RLock()
         self.state = self._init_state()
         self.sessions: List[Optional[_Session]] = [None] * B
         self._rng = jax.random.PRNGKey(rng_seed)
@@ -246,6 +250,19 @@ class TTSEngine:
 
     # -- public API -----------------------------------------------------------
 
+    def warmup(self) -> None:
+        """Compile join/decode/vocode for every chunk size up front."""
+        with self._lock:
+            done = []
+            self._start_session_locked(
+                np.zeros(4, np.int32),
+                np.zeros(self.cfg.speaker_embedding_dim, np.float32),
+                lambda a: done.append(a is None),
+                max_frames=sum(self.ecfg.chunk_schedule),
+            )
+            while self._step_locked():
+                pass
+
     def free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.sessions) if s is None]
 
@@ -258,6 +275,12 @@ class TTSEngine:
         ``None`` marks end-of-stream (reference EOS protocol,
         ``HelloSippyRTPipe.py:252-255``).
         """
+        with self._lock:
+            return self._start_session_locked(input_ids, speaker_emb, callback,
+                                              max_frames)
+
+    def _start_session_locked(self, input_ids, speaker_emb, callback,
+                              max_frames=None) -> int:
         free = self.free_slots()
         if not free:
             raise RuntimeError("no free TTS slots")
@@ -282,10 +305,11 @@ class TTSEngine:
     def cancel_session(self, sid: int) -> None:
         """Barge-in: stop generating for this session (slot mask, no recompile;
         reference does this with a Python flag, ``Cluster/TTSSession.py:62-68``)."""
-        for s in self.sessions:
-            if s is not None and s.sid == sid:
-                s.cancelled = True
-                return
+        with self._lock:
+            for s in self.sessions:
+                if s is not None and s.sid == sid:
+                    s.cancelled = True
+                    return
 
     @property
     def n_active(self) -> int:
@@ -296,6 +320,10 @@ class TTSEngine:
 
         Returns True if any session is still active.
         """
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> bool:
         if self.n_active == 0:
             return False
         # pick chunk size from the schedule position of the *youngest* session
