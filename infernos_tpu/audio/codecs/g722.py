@@ -244,6 +244,17 @@ class G722State:
         return out
 
 
+def _native_backend():
+    """The C++ engine (bit-exact vs this file's oracle) when buildable."""
+    try:
+        from ...media import native  # local import: avoid cycles at package init
+    except Exception:
+        from infernos_tpu.media import native  # pragma: no cover
+    if native.available():
+        return native.NativeG722
+    return None
+
+
 class G722Codec(GenCodec):
     """Stateful G.722 codec instance (one per stream direction)."""
 
@@ -253,8 +264,13 @@ class G722Codec(GenCodec):
     ename = "G722"
 
     def __init__(self) -> None:
-        self._enc_state = G722State()
-        self._dec_state = G722State()
+        nb = _native_backend()
+        if nb is not None:
+            self._enc_state = nb()
+            self._dec_state = nb()
+        else:
+            self._enc_state = G722State()
+            self._dec_state = G722State()
 
     def encode(self, audio: np.ndarray) -> bytes:
         pcm = np.clip(np.asarray(audio) * 32767.0, -32768, 32767).astype(np.int16)
@@ -262,6 +278,7 @@ class G722Codec(GenCodec):
 
     def decode(self, payload: bytes, resample: bool = False, sample_rate: int = 16000) -> np.ndarray:
         pcm = self._dec_state.decode(payload)
+        pcm = np.asarray(pcm)
         audio = pcm.astype(np.float32) / 32767.0
         if resample and sample_rate != self.srate:
             return AudioChunk(audio, self.srate).resample(sample_rate).audio

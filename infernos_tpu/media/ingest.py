@@ -24,7 +24,7 @@ from ..audio.chunk import AudioChunk
 from ..models import vad as vad_m
 from ..serving.vad_engine import VADChannel, VADWorker
 from ..utils.threads import WrkThread
-from .jitter import JitterBuffer, RTPFrameType
+from .jitter import RTPFrameType, make_jitter_buffer
 from .rtp import RTPParseError
 
 
@@ -68,7 +68,7 @@ class RTPInStream:
         self.ring = ring
         self.codec = codec
         self.get_direct_soundout = get_direct_soundout
-        self.jbuf = JitterBuffer(self.jb_size)
+        self.jbuf = make_jitter_buffer(self.jb_size)
         self.last_output_lseq: Optional[int] = None
         self.npkts = 0
         self.ain = AudioInput()
@@ -94,7 +94,7 @@ class RTPInStream:
     def _proc(self, wi, vad_worker: VADWorker) -> None:
         if isinstance(wi, _WIStreamUpdate):
             # re-INVITE: fresh jitter buffer + sequence state
-            self.jbuf = JitterBuffer(self.jb_size)
+            self.jbuf = make_jitter_buffer(self.jb_size)
             self.last_output_lseq = None
             return
         if isinstance(wi, _WIStreamConnect):

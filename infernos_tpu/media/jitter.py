@@ -124,3 +124,12 @@ class JitterBuffer:
                                ts_diff=int(ts_diff)))
             self._next_eseq = first_avail
         return out
+
+
+def make_jitter_buffer(size: int = 8):
+    """Prefer the C++ jitter buffer (hot path); fall back to Python."""
+    from . import native
+
+    if native.available():
+        return native.NativeJitterBuffer(size)
+    return JitterBuffer(size)

@@ -27,7 +27,7 @@ from ..audio.chunk import AudioChunk
 from ..audio.markers import ASMarkerGeneric
 from ..audio.muxer import MTMuxer
 from ..utils.threads import WrkThread
-from .rtp import RTPPacketizer
+from .rtp import make_packetizer
 
 
 class RTPOutputWorker(WrkThread):
@@ -56,7 +56,7 @@ class RTPOutputWorker(WrkThread):
         out_fsize = self.samplerate_out * self.ptime_ms // 1000  # samples/pkt
         ptime = Fraction(0)
         stime: Optional[float] = None
-        rsynth = RTPPacketizer(self.codec.crate, self.ptime_ms)
+        rsynth = make_packetizer(self.codec.crate, self.ptime_ms)
         qtimeout = Fraction(self.ptime_ms, 1000)
         # ~100 ms internal buffer rounded to frame size
         out_qsize = out_fsize * max(1, self.samplerate_out // 10 // out_fsize)

@@ -98,3 +98,16 @@ class RTPPacketizer:
 
     def resync(self) -> None:
         self._marker_next = True
+
+
+def make_packetizer(clock_rate: int, ptime_ms: int):
+    """Prefer the C++ packetizer (per-packet hot path); Python fallback."""
+    import secrets as _secrets
+
+    from . import native
+
+    if native.available():
+        return native.NativePacketizer(
+            clock_rate, ptime_ms, ssrc=_secrets.randbits(32),
+            seq0=_secrets.randbits(16), ts0=_secrets.randbits(31))
+    return RTPPacketizer(clock_rate, ptime_ms)
