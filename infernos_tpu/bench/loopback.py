@@ -1,0 +1,104 @@
+"""Loopback QA: TTS speaks a prompt, STT transcribes it, similarity scores
+each speaker voice -- a self-contained integration test needing no human
+listener.
+
+Capability parity with ``Cluster/InfernBenchActor.py:34-60,205-331``: the
+reference feeds TTS output through a ``SoundPreBatcher`` into STT and scores
+prompt-vs-transcript with BERT-embedding cosine similarity per speaker,
+checkpointing results per speaker across generations.  Here:
+
+- audio flows TTS engine -> (16 kHz) -> STT engine;
+- similarity is pluggable: default is a character-level ratio (works
+  offline); pass an embedding callback for BERT-class scoring with real
+  checkpoints;
+- per-speaker scores persist as JSON for resumable generational runs.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class SpeakerScore:
+    speaker_id: int
+    similarity: float
+    prompt: str
+    transcript: str
+    audio_s: float
+
+
+def text_similarity(a: str, b: str) -> float:
+    """Default offline similarity (the reference uses BERT cosine)."""
+    return difflib.SequenceMatcher(None, a.lower(), b.lower()).ratio()
+
+
+class LoopbackQA:
+    def __init__(self, tts_engine, stt_engine, tokenize, detokenize=None,
+                 similarity: Callable[[str, str], float] = text_similarity,
+                 checkpoint_path: Optional[str] = None):
+        self.tts = tts_engine
+        self.stt = stt_engine
+        self.tokenize = tokenize
+        self.detok = detokenize
+        self.similarity = similarity
+        self.checkpoint_path = checkpoint_path
+        self.scores: Dict[int, float] = {}
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            with open(checkpoint_path) as f:
+                self.scores = {int(k): v for k, v in json.load(f).items()}
+
+    def _speak(self, prompt: str, speaker, max_frames: int = 128) -> np.ndarray:
+        chunks: List[np.ndarray] = []
+        done = []
+        self.tts.start_session(self.tokenize(prompt), speaker,
+                               lambda a: done.append(1) if a is None
+                               else chunks.append(a),
+                               max_frames=max_frames)
+        while self.tts.step():
+            pass
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    def _transcribe(self, audio: np.ndarray, lang: str = "en") -> str:
+        from ..serving.stt_engine import STTRequest
+
+        out: List = []
+        self.stt.submit(STTRequest(audio=audio, text_cb=out.append, lang=lang))
+        while self.stt.step():
+            pass
+        return out[0].text if out else ""
+
+    def score_speaker(self, speaker_id: int, speaker_vec, prompt: str) -> SpeakerScore:
+        audio = self._speak(prompt, speaker_vec)
+        # TTS engine emits at its sample_rate; STT expects 16 kHz
+        sr = self.tts.ecfg.sample_rate
+        if sr != 16000:
+            from ..audio.chunk import AudioChunk
+
+            audio = AudioChunk(audio, sr).resample(16000).audio
+        transcript = self._transcribe(audio)
+        sim = self.similarity(prompt, transcript)
+        self.scores[speaker_id] = sim
+        return SpeakerScore(speaker_id, sim, prompt, transcript,
+                            len(audio) / 16000.0)
+
+    def run_generation(self, bank, speaker_ids, prompts) -> List[SpeakerScore]:
+        out = []
+        for i, sid in enumerate(speaker_ids):
+            out.append(self.score_speaker(sid, bank.get(sid),
+                                          prompts[i % len(prompts)]))
+        if self.checkpoint_path:
+            with open(self.checkpoint_path, "w") as f:
+                json.dump(self.scores, f)
+        return out
+
+    def top_speakers(self, n: int = 50) -> List[int]:
+        return [sid for sid, _ in sorted(self.scores.items(),
+                                         key=lambda kv: -kv[1])[:n]]

@@ -135,10 +135,18 @@ def encode(params, cfg: WhisperConfig, mel):
         f"audio too long: {S} frames > max_source_positions "
         f"{params['enc_pos'].shape[0]}")
     x = x + params["enc_pos"][:S].astype(x.dtype)
+    from ..ops.attention import fused_attention
+
+    H = cfg.encoder_attention_heads
     for lp in params["enc_layers"]:
-        h = L.attention(lp["attn"], L.layer_norm(x, lp["ln1"]),
-                        n_heads=cfg.encoder_attention_heads)
-        x = x + h
+        h_in = L.layer_norm(x, lp["ln1"])
+        # encoder self-attention runs through the Pallas block-q kernel on
+        # TPU (the FLOPs-heavy stage of STT serving); XLA path elsewhere
+        q = L.linear(h_in, lp["attn"]["q"])
+        k = L.linear(h_in, lp["attn"]["k"])
+        v = L.linear(h_in, lp["attn"]["v"])
+        h = fused_attention(q, k, v, n_heads=H)
+        x = x + L.linear(h, lp["attn"]["o"])
         h = L.layer_norm(x, lp["ln2"])
         h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False), lp["fc2"])
         x = x + h
