@@ -61,7 +61,14 @@ def conv1d_init(key, c_in, c_out, k, bias=True, groups=1) -> Params:
 # -- core ops ----------------------------------------------------------------
 
 def linear(x, p: Params):
-    y = jnp.einsum("...i,io->...o", x, p["w"])
+    if "w_q" in p:
+        # int8 weight-only quantization (models/quant.py): the int8->dtype
+        # convert fuses into the matmul operand load; per-out-channel scale
+        # applies after the dot
+        y = jnp.einsum("...i,io->...o", x, p["w_q"].astype(x.dtype))
+        y = y * p["scale"].astype(x.dtype)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["w"])
     if "b" in p:
         y = y + p["b"]
     return y

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..models import qwen
 from ..utils.logging import get_logger
+from ..utils.metrics import metrics
 
 log = get_logger("serving.llm")
 
@@ -228,6 +229,8 @@ class LLMEngine:
 
     def _finish(self, slot: int, s: _Slot) -> None:
         self.slots[slot] = None
+        metrics.observe("llm.gen_time", time.monotonic() - s.req.stime)
+        metrics.inc("llm.tokens", s.new_tokens)
         s.streamer.finish()
 
 

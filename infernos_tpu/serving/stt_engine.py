@@ -33,6 +33,7 @@ from ..audio.mel import HOP, log_mel_jax
 from ..models import layers as L
 from ..models import whisper as wsp
 from ..utils.logging import get_logger
+from ..utils.metrics import metrics
 
 log = get_logger("serving.stt")
 
@@ -339,4 +340,6 @@ class STTEngine:
             inf_time=time.monotonic() - sess.t_start,
         )
         res.text = self.detokenize(res.tokens)
+        metrics.observe("stt.inf_time", res.inf_time)
+        metrics.observe("stt.audio_s", res.duration)
         req.text_cb(res)

@@ -38,6 +38,7 @@ from ..models import amendnet as amd
 from ..models import hifigan as hfg
 from ..models import speecht5 as st5
 from ..utils.logging import get_logger
+from ..utils.metrics import metrics
 
 log = get_logger("serving.tts")
 
@@ -357,11 +358,15 @@ class TTSEngine:
             if nvalid > 0:
                 if sess.t_first is None:
                     sess.t_first = time.monotonic()
+                    metrics.observe("tts.ttfb", sess.t_first - sess.t_start)
                 sess.callback(audio_np[slot, : nvalid * fs])
                 sess.frames_sent += nvalid
+                metrics.inc("tts.audio_samples", nvalid * fs)
             over = sess.frames_sent >= sess.max_frames
             if bool(stopped_np[slot]) or over or nvalid == 0:
+                metrics.observe("tts.session_s", time.monotonic() - sess.t_start)
                 sess.callback(None)
                 self.sessions[slot] = None
                 self.state = self._leave_fn(self.state, jnp.int32(slot))
+        metrics.set("tts.active_slots", self.n_active)
         return self.n_active > 0
