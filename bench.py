@@ -21,7 +21,9 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +59,7 @@ def main() -> None:
         max_text_tokens=64,
         max_steps=256,
         pre_frames=4,
-        chunk_schedule=(8, 32),
+        chunk_schedule=(8, 32) if os.environ.get("BENCH_TTFB") else (32,),
         min_steps=8,
         stop_threshold=2.0,  # random weights: run to max_frames deterministically
         dtype=dtype,

@@ -42,6 +42,12 @@ class RTPOutputWorker(WrkThread):
         self.debug = debug
         self.data_log: Optional[list] = None
 
+    def set_datalog(self, path: str) -> None:
+        """Record all egress audio to a WAV at teardown (reference optional
+        datalog, RTP/RTPOutputWorker.py:43-44,157-166)."""
+        self.data_log = []
+        self._dl_path = path
+
     def soundout(self, chunk: Union[AudioChunk, ASMarkerGeneric]):
         if isinstance(chunk, AudioChunk):
             assert len(chunk.audio) > 0
@@ -108,3 +114,10 @@ class RTPOutputWorker(WrkThread):
 
     def on_stop(self) -> None:
         self.data_queue.put(None)
+        if self.data_log:
+            import numpy as _np
+
+            from ..audio.chunk import AudioChunk as _AC
+
+            _AC(_np.concatenate(self.data_log), self.samplerate_out).save_wav(
+                self._dl_path)

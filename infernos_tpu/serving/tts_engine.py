@@ -116,18 +116,19 @@ class TTSEngine:
         self._lock = threading.RLock()
         self.state = self._init_state()
         self.sessions: List[Optional[_Session]] = [None] * B
-        self._rng = jax.random.PRNGKey(rng_seed)
+        self._seed = np.uint32(rng_seed)
         self._next_sid = 0
+        self._inflight = None  # (audio, valid, stopped) device refs + n_frames
 
         # -- compiled programs ------------------------------------------------
         self._join_fn = jax.jit(self._join, donate_argnums=(0,))
         self._leave_fn = jax.jit(self._leave, donate_argnums=(0,))
-        self._decode_fns = {
-            n: jax.jit(partial(self._decode_chunk, n_frames=n), donate_argnums=(0,))
-            for n in sorted(set(ecfg.chunk_schedule))
-        }
-        self._vocode_fns = {
-            n: jax.jit(partial(self._vocode, n_frames=n))
+        # one fused jit per chunk size: AR decode + postnet + vocoder +
+        # context carry -- a single device dispatch and a single
+        # device->host fetch per tick (the per-call tunnel/PCIe latency
+        # dominates otherwise)
+        self._step_fns = {
+            n: jax.jit(partial(self._step_fused, n_frames=n), donate_argnums=(0,))
             for n in sorted(set(ecfg.chunk_schedule))
         }
 
@@ -230,6 +231,22 @@ class TTSEngine:
         frame_valid = jnp.repeat(run_flags.T, r, axis=1)  # [B, n_frames]
         return state, mels, frame_valid
 
+    def _step_fused(self, state: TTSState, seed, *, n_frames: int):
+        """Fused tick: decode chunk + vocode + state carry (jitted, donated).
+
+        ``seed``: host uint32 scalar; the PRNG key derives inside the program
+        so a tick costs exactly ONE dispatch (per-call tunnel/PCIe latency
+        dominates the 20 ms compute otherwise)."""
+        rng = jax.random.PRNGKey(seed)
+        state, mels, frame_valid = self._decode_chunk(state, rng, n_frames=n_frames)
+        audio, new_ctx = self._vocode(state.mel_ctx, mels, n_frames=n_frames)
+        state = state._replace(mel_ctx=new_ctx)
+        # NOTE: do not return state.stopped here -- it would alias the donated
+        # state buffer and die when the next tick is dispatched before this
+        # tick's harvest (the one-tick pipeline).  Session end is derived
+        # host-side from frame_valid instead.
+        return state, audio, frame_valid
+
     def _vocode(self, state_mel_ctx, mels, *, n_frames: int):
         """Postnet + vocoder + smoother over chunk with left context (jitted)."""
         cfg, ecfg = self.cfg, self.ecfg
@@ -326,6 +343,11 @@ class TTSEngine:
 
     def _step_locked(self) -> bool:
         if self.n_active == 0:
+            # drain the pipelined tick so the last sessions complete
+            if self._inflight is not None:
+                self._harvest(*self._inflight)
+                self._inflight = None
+                return self.n_active > 0
             return False
         # pick chunk size from the schedule position of the *youngest* session
         # (keeps first-frame latency low when a new session joins; reference
@@ -334,18 +356,26 @@ class TTSEngine:
         youngest = min(s.chunks_recv for s in self.sessions if s is not None)
         n_frames = sched[min(youngest, len(sched) - 1)]
 
-        self._rng, sub = jax.random.split(self._rng)
-        self.state, mels, frame_valid = self._decode_fns[n_frames](self.state, sub)
-        audio, new_ctx = self._vocode_fns[n_frames](self.state.mel_ctx, mels)
-        self.state = self.state._replace(mel_ctx=new_ctx)
+        self._seed = np.uint32(self._seed + 1)
+        self.state, audio, frame_valid = self._step_fns[n_frames](
+            self.state, self._seed)
+        # one-tick software pipeline: dispatch tick N, then harvest tick N-1
+        # while the device computes -- the blocking fetch hides under this
+        # tick's compute, so steady-state step time ~= device time
+        prev = self._inflight
+        self._inflight = ((audio, frame_valid), n_frames, list(self.sessions))
+        if prev is not None:
+            self._harvest(*prev)
+        return True
 
-        audio_np = np.asarray(audio)
-        valid_np = np.asarray(frame_valid)
-        stopped_np = np.asarray(self.state.stopped)
+    def _harvest(self, bufs, n_frames, snapshot) -> None:
+        """Deliver one tick's results to the sessions that were live at its
+        dispatch (slots may have been re-assigned since)."""
+        audio_np, valid_np = jax.device_get(bufs)
+        audio_np = np.asarray(audio_np, np.float32)
         fs = self.voc_cfg.total_upsample
-
-        for slot, sess in enumerate(self.sessions):
-            if sess is None:
+        for slot, sess in enumerate(snapshot):
+            if sess is None or self.sessions[slot] is not sess:
                 continue
             if sess.cancelled:
                 sess.callback(None)
@@ -363,10 +393,12 @@ class TTSEngine:
                 sess.frames_sent += nvalid
                 metrics.inc("tts.audio_samples", nvalid * fs)
             over = sess.frames_sent >= sess.max_frames
-            if bool(stopped_np[slot]) or over or nvalid == 0:
+            raw_valid = int(valid_np[slot].sum())
+            # stop fired mid-chunk (or slot idle): the run flags are monotone,
+            # so a partially-valid chunk means the stop token hit this tick
+            if raw_valid < n_frames or over:
                 metrics.observe("tts.session_s", time.monotonic() - sess.t_start)
                 sess.callback(None)
                 self.sessions[slot] = None
                 self.state = self._leave_fn(self.state, jnp.int32(slot))
         metrics.set("tts.active_slots", self.n_active)
-        return self.n_active > 0

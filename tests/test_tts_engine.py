@@ -97,7 +97,8 @@ def test_two_sessions_staggered_join(engine):
     rng = np.random.default_rng(1)
     spk = rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32)
     engine.start_session(np.array([3, 4, 5], np.int32), spk, cb("a"), max_frames=32)
-    engine.step()  # A gets its first chunk alone
+    engine.step()  # dispatch A's first chunk
+    engine.step()  # pipelined harvest delivers it
     assert got["a"] and not got["b"]
     engine.start_session(np.array([6, 7], np.int32), spk, cb("b"), max_frames=16)
     while engine.step():
@@ -120,11 +121,15 @@ def test_cancel_session(engine):
         max_frames=32,
     )
     engine.step()
+    engine.step()  # harvest (one-tick pipeline)
     n_before = len(chunks)
     engine.cancel_session(sid)
     engine.step()
+    engine.step()
     assert done == [True]
     assert len(chunks) == n_before  # no audio after cancel
+    while engine.step():
+        pass  # drain any inflight tick
     assert engine.n_active == 0
 
 
