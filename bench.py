@@ -49,9 +49,16 @@ def main() -> None:
     voc = hfg.HifiGanConfig()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), st5.init_params(k1, cfg))
-    voc_params = jax.tree_util.tree_map(lambda x: x.astype(dtype), hfg.init_params(k2, voc))
+    # Weight VALUES are irrelevant to serving throughput; zero-init compiles
+    # and allocates in milliseconds where random-init of full-size models
+    # costs minutes of RNG-graph compilation.
+    def zeros_like_init(init_fn):
+        shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+        return jax.jit(lambda: jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, dtype), shapes))()
+
+    params = zeros_like_init(lambda k: st5.init_params(k, cfg))
+    voc_params = zeros_like_init(lambda k: hfg.init_params(k, voc))
 
     B = int(os.environ.get("BENCH_SLOTS", "16"))
     ecfg = TTSEngineConfig(

@@ -123,10 +123,15 @@ class AIASession:
     def text_in(self, res) -> None:
         if self.closed:
             return
-        if res.no_speech_prob > 0.5:  # reference max_ns_prob gate
-            return
-        if res.text.strip():
-            self.text_buffer.append(res.text.strip())
+        text = res.text.strip()
+        if res.no_speech_prob > 0.5 or not text:
+            # unaudible-segment protocol (reference :126-130): short garbage
+            # is dropped; long unintelligible audio is reported to the LLM
+            if res.duration < 5.0:
+                return
+            text = (f"<unaudible duration={res.duration:.1f} "
+                    f"no_speech_probability={res.no_speech_prob:.2f}>")
+        self.text_buffer.append(text)
 
     def stt_flush(self, *_) -> None:
         if self.closed or not self.text_buffer:

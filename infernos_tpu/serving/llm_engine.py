@@ -208,7 +208,7 @@ class LLMEngine:
             return False
         (self.cache, self.pos, self.cur_tok, nxt) = self._step_fn(
             self.cache, self.pos, self.cur_tok, self.done)
-        nxt_np = np.asarray(nxt)
+        nxt_np = jax.device_get(nxt)
         new_done = []
         for i, s in enumerate(self.slots):
             if s is None:

@@ -315,9 +315,8 @@ class STTEngine:
             return False
         (self.cache, self.pos, self.cur_tok, self.done, nxt) = self._step_fn(
             self.cache, self.enc_mask, self.pos, self.cur_tok, self.done)
-        nxt_np = np.asarray(nxt)
-        done_np = np.asarray(self.done)
-        pos_np = np.asarray(self.pos)
+        # one bundled device->host fetch per step
+        nxt_np, done_np, pos_np = jax.device_get((nxt, self.done, self.pos))
         for i, sess in enumerate(self.slots):
             if sess is None:
                 continue
