@@ -64,7 +64,8 @@ def linear(x, p: Params):
     if "w_q" in p:
         # int8 weight-only quantization (models/quant.py): the int8->dtype
         # convert fuses into the matmul operand load; per-out-channel scale
-        # applies after the dot
+        # applies after the dot.  (Stacked [L,in,out] weights never reach
+        # here whole -- lax.scan slices the layer dim first.)
         y = jnp.einsum("...i,io->...o", x, p["w_q"].astype(x.dtype))
         y = y * p["scale"].astype(x.dtype)
     else:

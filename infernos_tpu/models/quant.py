@@ -26,11 +26,16 @@ DEFAULT_EXCLUDE = ("embed", "pos", "lm_head", "bn", "postnet", "conv")
 
 
 def quantize_linear(p: dict) -> dict:
-    """{"w": [in,out](, "b")} -> {"w_q": int8, "scale": f32[out](, "b")}."""
+    """{"w": [in,out](, "b")} -> {"w_q": int8, "scale": f32[out](, "b")}.
+
+    Also handles layer-stacked weights ``[L, in, out]`` (scan-over-layers
+    models): per-layer, per-out-channel scales ``[L, out]``; under
+    ``lax.scan`` each slice presents as a normal quantized linear.
+    """
     w = p["w"]
-    amax = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8)  # per out-channel
+    amax = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-8)  # per out-channel
     scale = (amax / 127.0).astype(jnp.float32)
-    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    w_q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     out = {"w_q": w_q, "scale": scale}
     if "b" in p:
         out["b"] = p["b"]
@@ -39,7 +44,7 @@ def quantize_linear(p: dict) -> dict:
 
 def _is_linear_leaf(node: Any) -> bool:
     return (isinstance(node, dict) and "w" in node
-            and getattr(node["w"], "ndim", 0) == 2
+            and getattr(node["w"], "ndim", 0) in (2, 3)
             and set(node) <= {"w", "b"})
 
 

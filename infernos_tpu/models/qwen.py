@@ -59,12 +59,20 @@ def _layer_init(key, cfg: QwenConfig):
     }
 
 
+def stack_layers(layers):
+    """Per-layer pytrees -> one pytree with a leading layer dim (the model
+    runs as ``lax.scan`` over layers: one traced layer body instead of 48
+    unrolled copies -- order-of-magnitude faster trace/compile at 14B)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
 def init_params(key, cfg: QwenConfig) -> Dict[str, Any]:
     ks = list(jax.random.split(key, 3 + cfg.num_layers))
     nk = ks.pop
     p = {
         "embed": {"w": 0.02 * jax.random.normal(nk(), (cfg.vocab_size, cfg.hidden_size))},
-        "layers": [_layer_init(nk(), cfg) for _ in range(cfg.num_layers)],
+        "layers": stack_layers([_layer_init(nk(), cfg)
+                                for _ in range(cfg.num_layers)]),
         "ln_f": {"g": jnp.ones((cfg.hidden_size,), jnp.float32)},
     }
     if not cfg.tie_word_embeddings:
@@ -78,17 +86,18 @@ def param_shardings(cfg: QwenConfig, tp_axis: str = "tp") -> Dict[str, Any]:
     Column-parallel q/k/v/gate/up (output dim sharded), row-parallel o/down
     (input dim sharded): one all-reduce per attention and per MLP, riding ICI.
     """
-    col = {"w": P(None, tp_axis), "b": P(tp_axis)}
-    colnb = {"w": P(None, tp_axis)}
-    row = {"w": P(tp_axis, None)}
+    # layer-stacked weights carry a leading (unsharded) layer dim
+    col = {"w": P(None, None, tp_axis), "b": P(None, tp_axis)}
+    colnb = {"w": P(None, None, tp_axis)}
+    row = {"w": P(None, tp_axis, None)}
     rep1 = {"g": P(None)}
     layer = {
-        "ln1": rep1, "q": col, "k": col, "v": col, "o": row,
-        "ln2": rep1, "gate": colnb, "up": colnb, "down": row,
+        "ln1": {"g": P(None, None)}, "q": col, "k": col, "v": col, "o": row,
+        "ln2": {"g": P(None, None)}, "gate": colnb, "up": colnb, "down": row,
     }
     out = {
         "embed": {"w": P(None, None)},
-        "layers": [layer] * cfg.num_layers,
+        "layers": layer,
         "ln_f": rep1,
     }
     if not cfg.tie_word_embeddings:
@@ -176,21 +185,22 @@ def prefill(params, cfg: QwenConfig, tokens, pos_offset=None):
         pos_offset = jnp.zeros((B,), jnp.int32)
     positions = pos_offset[:, None] + jnp.arange(T)[None, :]
     mask = L.causal_bias(T)
-    ks, vs = [], []
-    for lp in params["layers"]:
+
+    def body(x, lp):
         h, k, v = _attn_full(lp, cfg, rms_norm(x, lp["ln1"], cfg.rms_norm_eps),
                              positions, mask)
-        ks.append(k)
-        vs.append(v)
         x = x + h
         x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     if head is None:
         logits = jnp.einsum("btd,vd->btv", x, params["embed"]["w"])
     else:
         logits = jnp.einsum("btd,dv->btv", x, head["w"])
-    return logits, jnp.stack(ks), jnp.stack(vs)
+    return logits, ks, vs
 
 
 def decode_step(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
@@ -210,18 +220,16 @@ def decode_step(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
     def upd(c, n, p):  # c [Hkv, Tmax, Dh], n [Hkv, 1, Dh]
         return jax.lax.dynamic_update_slice_in_dim(c, n, p, axis=1)
 
-    ks, vs = [], []
-    for i, lp in enumerate(params["layers"]):
+    def body(x, layer):
+        lp, k_l, v_l = layer
         h_in = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         q = L.linear(h_in, lp["q"]).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
         k = L.linear(h_in, lp["k"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
         v = L.linear(h_in, lp["v"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
-        k_c = jax.vmap(upd)(cache.k[i], k, pos)
-        v_c = jax.vmap(upd)(cache.v[i], v, pos)
-        ks.append(k_c)
-        vs.append(v_c)
+        k_c = jax.vmap(upd)(k_l, k, pos)
+        v_c = jax.vmap(upd)(v_l, v, pos)
         kx = jnp.repeat(k_c, rep, axis=1)  # [B, H, Tmax, Dh]
         vx = jnp.repeat(v_c, rep, axis=1)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, kx) * (Dh**-0.5)
@@ -231,13 +239,17 @@ def decode_step(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
         x = x + L.linear(out, lp["o"])
         x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
+        return x, (k_c, v_c)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    cache = QwenCache(ks, vs)
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)[:, 0]
     head = params.get("lm_head")
     if head is None:
         logits = jnp.einsum("bd,vd->bv", x, params["embed"]["w"])
     else:
         logits = jnp.einsum("bd,dv->bv", x, head["w"])
-    return logits, QwenCache(jnp.stack(ks), jnp.stack(vs))
+    return logits, cache
 
 
 # -- HF weight porting ---------------------------------------------------------
@@ -274,7 +286,7 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], QwenConfig]:
     m = model.model
     params: Dict[str, Any] = {
         "embed": {"w": _t(m.embed_tokens.weight)},
-        "layers": [
+        "layers": stack_layers([
             {
                 "ln1": {"g": _t(l.input_layernorm.weight)},
                 "q": _lin(l.self_attn.q_proj),
@@ -287,7 +299,7 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], QwenConfig]:
                 "down": _lin(l.mlp.down_proj),
             }
             for l in m.layers
-        ],
+        ]),
         "ln_f": {"g": _t(m.norm.weight)},
     }
     if not cfg.tie_word_embeddings:

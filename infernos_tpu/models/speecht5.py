@@ -95,6 +95,12 @@ def _dec_layer_init(key, cfg: SpeechT5Config):
     }
 
 
+def stack_layers(layers):
+    """Per-layer pytrees -> one pytree with a leading layer dim (model runs
+    as ``lax.scan`` over layers for fast trace/compile)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
 def init_params(key, cfg: SpeechT5Config) -> Dict[str, Any]:
     n_keys = 10 + cfg.encoder_layers + cfg.decoder_layers + \
         cfg.speech_decoder_prenet_layers + cfg.speech_decoder_postnet_layers
@@ -115,7 +121,8 @@ def init_params(key, cfg: SpeechT5Config) -> Dict[str, Any]:
         "enc_pos_alpha": jnp.ones((), jnp.float32),
         "enc_rel_pos": L.embedding_init(nk(), 2 * cfg.encoder_max_relative_position, cfg.head_dim),
         "enc_ln": L.layer_norm_init(D),
-        "enc_layers": [_enc_layer_init(nk(), cfg) for _ in range(cfg.encoder_layers)],
+        "enc_layers": stack_layers(
+            [_enc_layer_init(nk(), cfg) for _ in range(cfg.encoder_layers)]),
         "dec_prenet": {
             "layers": [
                 L.linear_init(nk(), prenet_sizes[i], prenet_sizes[i + 1])
@@ -125,7 +132,8 @@ def init_params(key, cfg: SpeechT5Config) -> Dict[str, Any]:
             "pos_alpha": jnp.ones((), jnp.float32),
             "speaker": L.linear_init(nk(), cfg.speaker_embedding_dim + D, D),
         },
-        "dec_layers": [_dec_layer_init(nk(), cfg) for _ in range(cfg.decoder_layers)],
+        "dec_layers": stack_layers(
+            [_dec_layer_init(nk(), cfg) for _ in range(cfg.decoder_layers)]),
         "feat_out": L.linear_init(nk(), D, cfg.num_mel_bins * cfg.reduction_factor),
         "prob_out": L.linear_init(nk(), D, cfg.reduction_factor),
         "postnet": [
@@ -175,8 +183,12 @@ def encode_text(params, cfg: SpeechT5Config, input_ids, attention_mask=None):
     mask_bias = None
     if attention_mask is not None:
         mask_bias = L.pad_mask_to_bias(attention_mask, S)
-    for lp in params["enc_layers"]:
-        x = _enc_layer(lp, x, mask_bias, pos_bias, cfg.encoder_attention_heads, cfg.layer_norm_eps)
+
+    def body(x, lp):
+        return _enc_layer(lp, x, mask_bias, pos_bias,
+                          cfg.encoder_attention_heads, cfg.layer_norm_eps), None
+
+    x, _ = jax.lax.scan(body, x, params["enc_layers"])
     return x
 
 
@@ -231,14 +243,16 @@ def decode_full(params, cfg: SpeechT5Config, dec_in, enc_out, enc_mask=None):
     xmask = None
     if enc_mask is not None:
         xmask = L.pad_mask_to_bias(enc_mask, T)
-    x = dec_in
-    for lp in params["dec_layers"]:
+
+    def body(x, lp):
         h = L.attention(lp["self_attn"], x, n_heads=H, mask=causal)
         x = L.layer_norm(x + h, lp["ln1"], eps)
         h = L.attention(lp["cross_attn"], x, enc_out, n_heads=H, mask=xmask)
         x = L.layer_norm(x + h, lp["ln2"], eps)
         h = L.linear(jax.nn.gelu(L.linear(x, lp["ffn"]["in"]), approximate=False), lp["ffn"]["out"])
-        x = L.layer_norm(x + h, lp["ln3"], eps)
+        return L.layer_norm(x + h, lp["ln3"], eps), None
+
+    x, _ = jax.lax.scan(body, dec_in, params["dec_layers"])
     return x
 
 
@@ -261,13 +275,14 @@ def init_cache(cfg: SpeechT5Config, batch: int, max_steps: int, enc_len: int,
 def fill_cross_kv(params, cfg: SpeechT5Config, cache: DecoderCache, enc_out) -> DecoderCache:
     """Precompute cross-attention K/V for all slots (called at join time on
     the freshly encoded text, then sliced into the slot -- see engine)."""
-    ks, vs = [], []
-    for lp in params["dec_layers"]:
+
+    def body(_, lp):
         k, v = L.precompute_cross_kv(lp["cross_attn"], enc_out,
                                      n_heads=cfg.decoder_attention_heads)
-        ks.append(k)
-        vs.append(v)
-    return cache._replace(cross_k=jnp.stack(ks), cross_v=jnp.stack(vs))
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, params["dec_layers"])
+    return cache._replace(cross_k=ks, cross_v=vs)
 
 
 def decode_step(params, cfg: SpeechT5Config, x, cache: DecoderCache, pos,
@@ -279,23 +294,24 @@ def decode_step(params, cfg: SpeechT5Config, x, cache: DecoderCache, pos,
     """
     H = cfg.decoder_attention_heads
     eps = cfg.layer_norm_eps
-    sk, sv = [], []
-    for i, lp in enumerate(params["dec_layers"]):
+
+    def body(x, layer):
+        lp, k_l, v_l, ck_l, cv_l = layer
         h, k_c, v_c = L.attention_step(
-            lp["self_attn"], x, n_heads=H,
-            k_cache=cache.self_k[i], v_cache=cache.self_v[i], pos=pos,
+            lp["self_attn"], x, n_heads=H, k_cache=k_l, v_cache=v_l, pos=pos,
         )
-        sk.append(k_c)
-        sv.append(v_c)
         x = L.layer_norm(x + h, lp["ln1"], eps)
         h = L.cross_attention_step(
-            lp["cross_attn"], x, cache.cross_k[i], cache.cross_v[i],
-            n_heads=H, kv_mask=enc_mask,
+            lp["cross_attn"], x, ck_l, cv_l, n_heads=H, kv_mask=enc_mask,
         )
         x = L.layer_norm(x + h, lp["ln2"], eps)
         h = L.linear(jax.nn.gelu(L.linear(x, lp["ffn"]["in"]), approximate=False), lp["ffn"]["out"])
-        x = L.layer_norm(x + h, lp["ln3"], eps)
-    cache = cache._replace(self_k=jnp.stack(sk), self_v=jnp.stack(sv))
+        return L.layer_norm(x + h, lp["ln3"], eps), (k_c, v_c)
+
+    x, (sk, sv) = jax.lax.scan(
+        body, x, (params["dec_layers"], cache.self_k, cache.self_v,
+                  cache.cross_k, cache.cross_v))
+    cache = cache._replace(self_k=sk, self_v=sv)
     return x, cache
 
 
@@ -386,7 +402,7 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], SpeechT5Config]:
         "enc_pos_alpha": _t(enc.prenet.encode_positions.alpha),
         "enc_rel_pos": {"w": _t(wenc.embed_positions.pe_k.weight)},
         "enc_ln": _ln(wenc.layer_norm),
-        "enc_layers": [
+        "enc_layers": stack_layers([
             {
                 "attn": _mha(l.attention),
                 "ln1": _ln(l.layer_norm),
@@ -395,14 +411,14 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], SpeechT5Config]:
                 "ln2": _ln(l.final_layer_norm),
             }
             for l in wenc.layers
-        ],
+        ]),
         "dec_prenet": {
             "layers": [_lin(l) for l in prenet.layers],
             "final": _lin(prenet.final_layer),
             "pos_alpha": _t(prenet.encode_positions.alpha),
             "speaker": _lin(prenet.speaker_embeds_layer),
         },
-        "dec_layers": [
+        "dec_layers": stack_layers([
             {
                 "self_attn": _mha(l.self_attn),
                 "ln1": _ln(l.self_attn_layer_norm),
@@ -413,7 +429,7 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], SpeechT5Config]:
                 "ln3": _ln(l.final_layer_norm),
             }
             for l in wdec.layers
-        ],
+        ]),
         "feat_out": _lin(post.feat_out),
         "prob_out": _lin(post.prob_out),
         "postnet": [

@@ -100,6 +100,16 @@ def _dec_layer_init(key, cfg):
     }
 
 
+def stack_layers(layers):
+    """List of per-layer pytrees -> one pytree with a leading layer dim.
+
+    Layer stacks let the transformer run as ``lax.scan`` over layers: the
+    traced graph holds ONE layer body instead of 32 unrolled copies, which
+    cuts trace+compile time by an order of magnitude at large depths.
+    """
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
 def init_params(key, cfg: WhisperConfig) -> Dict[str, Any]:
     n = 6 + cfg.encoder_layers + cfg.decoder_layers
     ks = list(jax.random.split(key, n))
@@ -109,11 +119,13 @@ def init_params(key, cfg: WhisperConfig) -> Dict[str, Any]:
         "conv1": L.conv1d_init(nk(), cfg.num_mel_bins, d, 3),
         "conv2": L.conv1d_init(nk(), d, d, 3),
         "enc_pos": jnp.asarray(_sinusoids(cfg.max_source_positions, d)),
-        "enc_layers": [_enc_layer_init(nk(), cfg) for _ in range(cfg.encoder_layers)],
+        "enc_layers": stack_layers(
+            [_enc_layer_init(nk(), cfg) for _ in range(cfg.encoder_layers)]),
         "enc_ln": L.layer_norm_init(d),
         "tok_embed": L.embedding_init(nk(), cfg.vocab_size, d),
         "dec_pos": {"w": 0.02 * jax.random.normal(nk(), (cfg.max_target_positions, d))},
-        "dec_layers": [_dec_layer_init(nk(), cfg) for _ in range(cfg.decoder_layers)],
+        "dec_layers": stack_layers(
+            [_dec_layer_init(nk(), cfg) for _ in range(cfg.decoder_layers)]),
         "dec_ln": L.layer_norm_init(d),
     }
 
@@ -138,7 +150,8 @@ def encode(params, cfg: WhisperConfig, mel):
     from ..ops.attention import fused_attention
 
     H = cfg.encoder_attention_heads
-    for lp in params["enc_layers"]:
+
+    def body(x, lp):
         h_in = L.layer_norm(x, lp["ln1"])
         # encoder self-attention runs through the Pallas block-q kernel on
         # TPU (the FLOPs-heavy stage of STT serving); XLA path elsewhere
@@ -149,7 +162,9 @@ def encode(params, cfg: WhisperConfig, mel):
         x = x + L.linear(h, lp["attn"]["o"])
         h = L.layer_norm(x, lp["ln2"])
         h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False), lp["fc2"])
-        x = x + h
+        return x + h, None
+
+    x, _ = jax.lax.scan(body, x, params["enc_layers"])
     return L.layer_norm(x, params["enc_ln"])
 
 
@@ -170,13 +185,13 @@ def init_cache(cfg: WhisperConfig, batch: int, max_steps: int, enc_len: int,
 
 
 def fill_cross_kv(params, cfg: WhisperConfig, cache: WhisperCache, enc_out) -> WhisperCache:
-    ks, vs = [], []
-    for lp in params["dec_layers"]:
+    def body(_, lp):
         k, v = L.precompute_cross_kv(lp["cross_attn"], enc_out,
                                      n_heads=cfg.decoder_attention_heads)
-        ks.append(k)
-        vs.append(v)
-    return cache._replace(cross_k=jnp.stack(ks), cross_v=jnp.stack(vs))
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, params["dec_layers"])
+    return cache._replace(cross_k=ks, cross_v=vs)
 
 
 def decode_full(params, cfg: WhisperConfig, tokens, enc_out, enc_mask=None):
@@ -189,7 +204,8 @@ def decode_full(params, cfg: WhisperConfig, tokens, enc_out, enc_mask=None):
     x = params["tok_embed"]["w"][tokens] + params["dec_pos"]["w"][:T]
     causal = L.causal_bias(T)
     xmask = L.pad_mask_to_bias(enc_mask, T) if enc_mask is not None else None
-    for lp in params["dec_layers"]:
+
+    def body(x, lp):
         h = L.attention(lp["self_attn"], L.layer_norm(x, lp["ln1"]),
                         n_heads=H, mask=causal)
         x = x + h
@@ -198,7 +214,9 @@ def decode_full(params, cfg: WhisperConfig, tokens, enc_out, enc_mask=None):
         x = x + h
         h = L.layer_norm(x, lp["ln3"])
         h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False), lp["fc2"])
-        x = x + h
+        return x + h, None
+
+    x, _ = jax.lax.scan(body, x, params["dec_layers"])
     x = L.layer_norm(x, params["dec_ln"])
     return jnp.einsum("btd,vd->btv", x, params["tok_embed"]["w"])
 
@@ -210,26 +228,29 @@ def decode_step(params, cfg: WhisperConfig, tokens, cache: WhisperCache, pos,
     H = cfg.decoder_attention_heads
     x = params["tok_embed"]["w"][tokens][:, None, :] + \
         params["dec_pos"]["w"][pos][:, None, :]
-    sk, sv = [], []
-    for i, lp in enumerate(params["dec_layers"]):
+
+    def body(x, layer):
+        lp, k_l, v_l, ck_l, cv_l = layer
         h, k_c, v_c = L.attention_step(
             lp["self_attn"], L.layer_norm(x, lp["ln1"]), n_heads=H,
-            k_cache=cache.self_k[i], v_cache=cache.self_v[i], pos=pos,
+            k_cache=k_l, v_cache=v_l, pos=pos,
         )
-        sk.append(k_c)
-        sv.append(v_c)
         x = x + h
         h = L.cross_attention_step(
             lp["cross_attn"], L.layer_norm(x, lp["ln2"]),
-            cache.cross_k[i], cache.cross_v[i], n_heads=H, kv_mask=enc_mask,
+            ck_l, cv_l, n_heads=H, kv_mask=enc_mask,
         )
         x = x + h
         h = L.layer_norm(x, lp["ln3"])
         h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False), lp["fc2"])
-        x = x + h
+        return x + h, (k_c, v_c)
+
+    x, (sk, sv) = jax.lax.scan(
+        body, x, (params["dec_layers"], cache.self_k, cache.self_v,
+                  cache.cross_k, cache.cross_v))
     x = L.layer_norm(x, params["dec_ln"])[:, 0]
     logits = jnp.einsum("bd,vd->bv", x, params["tok_embed"]["w"])
-    return logits, cache._replace(self_k=jnp.stack(sk), self_v=jnp.stack(sv))
+    return logits, cache._replace(self_k=sk, self_v=sv)
 
 
 # -- HF weight porting ---------------------------------------------------------
@@ -283,7 +304,7 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], WhisperConfig]:
         "conv1": _conv(enc.conv1),
         "conv2": _conv(enc.conv2),
         "enc_pos": _t(enc.embed_positions.weight),
-        "enc_layers": [
+        "enc_layers": stack_layers([
             {
                 "ln1": _ln(l.self_attn_layer_norm),
                 "attn": _attn(l.self_attn),
@@ -292,11 +313,11 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], WhisperConfig]:
                 "fc2": _lin(l.fc2),
             }
             for l in enc.layers
-        ],
+        ]),
         "enc_ln": _ln(enc.layer_norm),
         "tok_embed": {"w": _t(dec.embed_tokens.weight)},
         "dec_pos": {"w": _t(dec.embed_positions.weight)},
-        "dec_layers": [
+        "dec_layers": stack_layers([
             {
                 "ln1": _ln(l.self_attn_layer_norm),
                 "self_attn": _attn(l.self_attn),
@@ -307,7 +328,7 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], WhisperConfig]:
                 "fc2": _lin(l.fc2),
             }
             for l in dec.layers
-        ],
+        ]),
         "dec_ln": _ln(dec.layer_norm),
     }
     return params, cfg

@@ -114,6 +114,7 @@ class LLMEngine:
         self.done = jnp.ones((B,), bool)
         self.slots: List[Optional[_Slot]] = [None] * B
         self._lock = threading.RLock()
+        self._inflight = None  # one-step pipelined harvest buffers
 
         self._prefill_fns = {
             n: jax.jit(partial(self._prefill_bucket, n_tokens=n))
@@ -205,27 +206,40 @@ class LLMEngine:
 
     def _step_locked(self) -> bool:
         if self.n_active == 0:
+            if self._inflight is not None:
+                self._harvest(*self._inflight)
+                self._inflight = None
+                return self.n_active > 0
             return False
         (self.cache, self.pos, self.cur_tok, nxt) = self._step_fn(
             self.cache, self.pos, self.cur_tok, self.done)
+        # one-step software pipeline: dispatch N, harvest N-1 while the
+        # device computes (AR feedback is in-device; the fetch is
+        # bookkeeping only)
+        prev = self._inflight
+        self._inflight = (nxt, list(self.slots))
+        if prev is not None:
+            self._harvest(*prev)
+        return True
+
+    def _harvest(self, nxt, snapshot) -> None:
         nxt_np = jax.device_get(nxt)
-        new_done = []
-        for i, s in enumerate(self.slots):
-            if s is None:
-                new_done.append(True)
+        done_flags = list(jax.device_get(self.done))
+        for i, s in enumerate(snapshot):
+            if s is None or self.slots[i] is not s:
                 continue
             tok = int(nxt_np[i])
             limit = s.req.max_new_tokens or self.ecfg.max_new_tokens
             budget = self.ecfg.max_total_tokens - s.prompt_len - 1
             if tok in self.eos_ids or s.new_tokens >= min(limit, budget):
                 self._finish(i, s)
-                new_done.append(True)
+                done_flags[i] = True
             else:
                 s.streamer.push(tok)
                 s.new_tokens += 1
-                new_done.append(False)
-        self.done = jnp.asarray(new_done)
-        return self.n_active > 0
+        self.done = jnp.asarray([self.slots[i] is None or bool(done_flags[i])
+                                 for i in range(len(self.slots))])
+        return
 
     def _finish(self, slot: int, s: _Slot) -> None:
         self.slots[slot] = None

@@ -128,6 +128,7 @@ class STTEngine:
         self.done = jnp.ones((B,), bool)
         self.slots: List[Optional[_Slot]] = [None] * B
         self._lock = threading.RLock()
+        self._inflight = None  # one-step pipelined harvest buffers
 
         self._encode_fns = {
             s: jax.jit(partial(self._encode_bucket, n_samples=s * ecfg.sample_rate))
@@ -157,13 +158,11 @@ class STTEngine:
         x = self.params["tok_embed"]["w"][tokens] + self.params["dec_pos"]["w"][:T]
         x = x.astype(self.ecfg.dtype)
         causal = L.causal_bias(T)
-        ks, vs = [], []
-        for lp in self.params["dec_layers"]:
+
+        def body(x, lp):
             h_in = L.layer_norm(x, lp["ln1"])
             k = L.split_heads(L.linear(h_in, lp["self_attn"]["k"]), H)
             v = L.split_heads(L.linear(h_in, lp["self_attn"]["v"]), H)
-            ks.append(k)
-            vs.append(v)
             h = L.attention(lp["self_attn"], h_in, n_heads=H, mask=causal)
             x = x + h
             h = L.attention(lp["cross_attn"], L.layer_norm(x, lp["ln2"]), enc_out,
@@ -172,23 +171,26 @@ class STTEngine:
             h = L.layer_norm(x, lp["ln3"])
             h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False),
                          lp["fc2"])
-            x = x + h
+            return x + h, (k, v)
+
+        x, (ks, vs) = jax.lax.scan(body, x, self.params["dec_layers"])
         x = L.layer_norm(x, self.params["dec_ln"])
         logits = jnp.einsum("btd,vd->btv", x, self.params["tok_embed"]["w"])
-        return logits, jnp.stack(ks), jnp.stack(vs)
+        return logits, ks, vs
 
     def _join(self, cache, enc_mask, pos, cur_tok, done, slot,
               enc_out, enc_len, self_k, self_v, prompt_len, first_tok):
         """Write one prefilled session into ``slot`` (donated state)."""
         S = enc_out.shape[1]
-        ck, cv = [], []
-        for lp in self.params["dec_layers"]:
+
+        def body(_, lp):
             k, v = L.precompute_cross_kv(lp["cross_attn"], enc_out,
                                          n_heads=self.cfg.decoder_attention_heads)
-            ck.append(k)
-            cv.append(v)
-        ck = jnp.stack(ck)[:, 0]  # [L,H,S,Dh]
-        cv = jnp.stack(cv)[:, 0]
+            return None, (k, v)
+
+        _, (ck, cv) = jax.lax.scan(body, None, self.params["dec_layers"])
+        ck = ck[:, 0]  # [L,H,S,Dh]
+        cv = cv[:, 0]
         pad_s = self.max_enc_len - S
         ck = jnp.pad(ck, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
         cv = jnp.pad(cv, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
@@ -312,13 +314,26 @@ class STTEngine:
 
     def _step_locked(self) -> bool:
         if self.n_active == 0:
+            if self._inflight is not None:
+                self._harvest(*self._inflight)
+                self._inflight = None
+                return self.n_active > 0
             return False
         (self.cache, self.pos, self.cur_tok, self.done, nxt) = self._step_fn(
             self.cache, self.enc_mask, self.pos, self.cur_tok, self.done)
-        # one bundled device->host fetch per step
-        nxt_np, done_np, pos_np = jax.device_get((nxt, self.done, self.pos))
-        for i, sess in enumerate(self.slots):
-            if sess is None:
+        # one-step software pipeline: dispatch step N, harvest step N-1 while
+        # the device computes (the AR feedback loop lives in-device, so the
+        # host fetch is pure bookkeeping and can lag one step)
+        prev = self._inflight
+        self._inflight = ((nxt, self.done, self.pos), list(self.slots))
+        if prev is not None:
+            self._harvest(*prev)
+        return True
+
+    def _harvest(self, bufs, snapshot) -> None:
+        nxt_np, done_np, pos_np = jax.device_get(bufs)
+        for i, sess in enumerate(snapshot):
+            if sess is None or self.slots[i] is not sess:
                 continue
             tok = int(nxt_np[i])
             finished = bool(done_np[i])
@@ -327,7 +342,6 @@ class STTEngine:
             hit_limit = (pos_np[i] - sess.prompt_len) >= self.ecfg.max_new_tokens
             if finished or hit_limit:
                 self._finish(i, sess)
-        return self.n_active > 0
 
     def _finish(self, slot: int, sess: _Slot) -> None:
         self.slots[slot] = None

@@ -156,16 +156,15 @@ class TTSEngine:
         spk = spk.astype(self.ecfg.dtype)
         enc = st5.encode_text(self.params, cfg, input_ids, attn_mask)  # [1,S,D]
         enc = enc.astype(self.ecfg.dtype)
-        ks, vs = [], []
-        for lp in self.params["dec_layers"]:
-            from ..models import layers as L
+        from ..models import layers as L
 
+        def ckv(_, lp):
             k, v = L.precompute_cross_kv(lp["cross_attn"], enc,
                                          n_heads=cfg.decoder_attention_heads)
-            ks.append(k)
-            vs.append(v)
-        ck = jnp.stack(ks)  # [L,1,H,S,Dh]
-        cv = jnp.stack(vs)
+            return None, (k, v)
+
+        _, (ck, cv) = jax.lax.scan(ckv, None, self.params["dec_layers"])
+        # ck/cv: [L,1,H,S,Dh]
         cache = state.cache
         zeros_k = jnp.zeros_like(cache.self_k[:, 0])
         cache = cache._replace(

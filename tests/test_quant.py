@@ -27,9 +27,10 @@ def test_quantize_params_walk_and_excludes():
     cfg = presets.WHISPER_TINY_TEST
     params = wsp.init_params(jax.random.PRNGKey(0), cfg)
     qp = quant.quantize_params(params, min_size=16)
-    # linears quantized
-    assert "w_q" in qp["enc_layers"][0]["fc1"]
-    assert "w_q" in qp["dec_layers"][0]["self_attn"]["q"]
+    # stacked linears quantized (leading layer dim preserved)
+    assert "w_q" in qp["enc_layers"]["fc1"]
+    assert qp["enc_layers"]["fc1"]["w_q"].ndim == 3
+    assert "w_q" in qp["dec_layers"]["self_attn"]["q"]
     # embeddings / positional / conv untouched
     assert "w" in qp["tok_embed"]
     assert "w" in qp["dec_pos"]
