@@ -203,7 +203,8 @@ def attention(
     if pos_bias is not None:
         logits = logits + jnp.einsum("bhqd,qkd->bhqk", q, pos_bias)
     if mask is not None:
-        logits = logits + mask
+        # masks are built in f32; cast so bf16 activations stay bf16
+        logits = logits + mask.astype(logits.dtype)
     w = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
     return linear(merge_heads(out), p["o"])
