@@ -127,10 +127,12 @@ def _rotate_half(x):
 
 
 def _apply_rope(x, cos, sin):
-    """x [B, H, T, Dh]; cos/sin [B, T, Dh]."""
+    """x [B, H, T, Dh]; cos/sin [B, T, Dh].  Computed in f32 (rotation
+    accuracy) and cast back so bf16 caches stay bf16."""
     cos = cos[:, None]
     sin = sin[:, None]
-    return x * cos + _rotate_half(x) * sin
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
 
 
 class QwenCache(NamedTuple):

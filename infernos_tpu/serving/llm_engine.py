@@ -116,20 +116,23 @@ class LLMEngine:
         self._lock = threading.RLock()
         self._inflight = None  # one-step pipelined harvest buffers
 
+        # params flow as jit ARGUMENTS (not closure captures): captured
+        # concrete arrays are baked into each executable as constants --
+        # fatal at 14B scale -- and explicit args keep TP shardings visible
         self._prefill_fns = {
             n: jax.jit(partial(self._prefill_bucket, n_tokens=n))
             for n in ecfg.prompt_buckets
         }
-        self._join_fn = jax.jit(self._join, donate_argnums=(0,))
-        self._step_fn = jax.jit(self._step, donate_argnums=(0,))
+        self._join_fn = jax.jit(self._join, donate_argnums=(1,))
+        self._step_fn = jax.jit(self._step, donate_argnums=(1,))
 
     # -- jitted programs ------------------------------------------------------
 
-    def _prefill_bucket(self, tokens, *, n_tokens: int):
-        logits, ks, vs = qwen.prefill(self.params, self.cfg, tokens)
+    def _prefill_bucket(self, params, tokens, *, n_tokens: int):
+        logits, ks, vs = qwen.prefill(params, self.cfg, tokens)
         return logits, ks.astype(self.ecfg.dtype), vs.astype(self.ecfg.dtype)
 
-    def _join(self, cache, pos, cur_tok, done, slot, ks, vs, prompt_len, first_tok):
+    def _join(self, params, cache, pos, cur_tok, done, slot, ks, vs, prompt_len, first_tok):
         P = ks.shape[3]
         pad = self.ecfg.max_total_tokens - P
         sk = jnp.pad(ks[:, 0], ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -143,8 +146,8 @@ class LLMEngine:
         done = jax.lax.dynamic_update_index_in_dim(done, False, slot, 0)
         return cache, pos, cur_tok, done
 
-    def _step(self, cache, pos, cur_tok, done):
-        logits, cache = qwen.decode_step(self.params, self.cfg, cur_tok, cache, pos)
+    def _step(self, params, cache, pos, cur_tok, done):
+        logits, cache = qwen.decode_step(params, self.cfg, cur_tok, cache, pos)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos = jnp.where(done, pos, pos + 1)
         cur_tok = jnp.where(done, cur_tok, nxt)
@@ -163,11 +166,11 @@ class LLMEngine:
         """Compile all bucket programs + the step (reference warm-up trick,
         ``Cluster/InfernLLMActor.py:30-40``)."""
         for n in self.ecfg.prompt_buckets:
-            self._prefill_fns[n](jnp.zeros((1, n), jnp.int32))
+            self._prefill_fns[n](self.params, jnp.zeros((1, n), jnp.int32))
         # the step donates the cache: reassign state (all slots are done, so
         # pos/cur_tok stay put)
         (self.cache, self.pos, self.cur_tok, _) = self._step_fn(
-            self.cache, self.pos, self.cur_tok, self.done)
+            self.params, self.cache, self.pos, self.cur_tok, self.done)
 
     def submit(self, req: LLMRequest) -> int:
         with self._lock:
@@ -185,11 +188,11 @@ class LLMEngine:
         plen = len(ids)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :plen] = ids
-        logits, ks, vs = self._prefill_fns[bucket](jnp.asarray(padded))
+        logits, ks, vs = self._prefill_fns[bucket](self.params, jnp.asarray(padded))
         first_tok = int(np.asarray(logits[0, plen - 1]).argmax())
         (self.cache, self.pos, self.cur_tok, self.done) = self._join_fn(
-            self.cache, self.pos, self.cur_tok, self.done, jnp.int32(slot),
-            ks, vs, jnp.int32(plen), jnp.int32(first_tok))
+            self.params, self.cache, self.pos, self.cur_tok, self.done,
+            jnp.int32(slot), ks, vs, jnp.int32(plen), jnp.int32(first_tok))
         streamer = _SentenceStreamer(self.detokenize, req.sentence_cb)
         s = _Slot(req, streamer, plen)
         self.slots[slot] = s
@@ -212,7 +215,7 @@ class LLMEngine:
                 return self.n_active > 0
             return False
         (self.cache, self.pos, self.cur_tok, nxt) = self._step_fn(
-            self.cache, self.pos, self.cur_tok, self.done)
+            self.params, self.cache, self.pos, self.cur_tok, self.done)
         # one-step software pipeline: dispatch N, harvest N-1 while the
         # device computes (AR feedback is in-device; the fetch is
         # bookkeeping only)

@@ -130,22 +130,24 @@ class STTEngine:
         self._lock = threading.RLock()
         self._inflight = None  # one-step pipelined harvest buffers
 
+        # params flow as jit arguments (closure-captured arrays are baked
+        # into executables as constants -- fatal at whisper-large scale)
         self._encode_fns = {
             s: jax.jit(partial(self._encode_bucket, n_samples=s * ecfg.sample_rate))
             for s in ecfg.buckets_s
         }
         self._prefill_fn = jax.jit(self._prefill)
-        self._join_fn = jax.jit(self._join, donate_argnums=(0,))
-        self._step_fn = jax.jit(self._step, donate_argnums=(0,))
+        self._join_fn = jax.jit(self._join, donate_argnums=(1,))
+        self._step_fn = jax.jit(self._step, donate_argnums=(1,))
 
     # -- jitted programs ------------------------------------------------------
 
-    def _encode_bucket(self, audio, *, n_samples: int):
+    def _encode_bucket(self, params, audio, *, n_samples: int):
         """[1, n_samples] waveform -> encoder states (mel fused on device)."""
         mel = log_mel_jax(audio, n_mels=self.cfg.num_mel_bins)
-        return wsp.encode(self.params, self.cfg, mel.astype(self.ecfg.dtype))
+        return wsp.encode(params, self.cfg, mel.astype(self.ecfg.dtype))
 
-    def _prefill(self, tokens, enc_out):
+    def _prefill(self, params, tokens, enc_out):
         """Teacher-forced prompt pass that also returns self-attn K/V.
 
         tokens ``[1, P]`` (P = max_prompt_tokens, left-padded with zeros is
@@ -155,7 +157,7 @@ class STTEngine:
         cfg = self.cfg
         B, T = tokens.shape
         H = cfg.decoder_attention_heads
-        x = self.params["tok_embed"]["w"][tokens] + self.params["dec_pos"]["w"][:T]
+        x = params["tok_embed"]["w"][tokens] + params["dec_pos"]["w"][:T]
         x = x.astype(self.ecfg.dtype)
         causal = L.causal_bias(T)
 
@@ -173,12 +175,12 @@ class STTEngine:
                          lp["fc2"])
             return x + h, (k, v)
 
-        x, (ks, vs) = jax.lax.scan(body, x, self.params["dec_layers"])
-        x = L.layer_norm(x, self.params["dec_ln"])
-        logits = jnp.einsum("btd,vd->btv", x, self.params["tok_embed"]["w"])
+        x, (ks, vs) = jax.lax.scan(body, x, params["dec_layers"])
+        x = L.layer_norm(x, params["dec_ln"])
+        logits = jnp.einsum("btd,vd->btv", x, params["tok_embed"]["w"])
         return logits, ks, vs
 
-    def _join(self, cache, enc_mask, pos, cur_tok, done, slot,
+    def _join(self, params, cache, enc_mask, pos, cur_tok, done, slot,
               enc_out, enc_len, self_k, self_v, prompt_len, first_tok):
         """Write one prefilled session into ``slot`` (donated state)."""
         S = enc_out.shape[1]
@@ -188,7 +190,7 @@ class STTEngine:
                                          n_heads=self.cfg.decoder_attention_heads)
             return None, (k, v)
 
-        _, (ck, cv) = jax.lax.scan(body, None, self.params["dec_layers"])
+        _, (ck, cv) = jax.lax.scan(body, None, params["dec_layers"])
         ck = ck[:, 0]  # [L,H,S,Dh]
         cv = cv[:, 0]
         pad_s = self.max_enc_len - S
@@ -211,9 +213,9 @@ class STTEngine:
         done = jax.lax.dynamic_update_index_in_dim(done, False, slot, 0)
         return cache, enc_mask, pos, cur_tok, done
 
-    def _step(self, cache, enc_mask, pos, cur_tok, done):
+    def _step(self, params, cache, enc_mask, pos, cur_tok, done):
         """One greedy step for all slots."""
-        logits, cache = wsp.decode_step(self.params, self.cfg, cur_tok, cache,
+        logits, cache = wsp.decode_step(params, self.cfg, cur_tok, cache,
                                         pos, enc_mask=enc_mask)
         if self.ecfg.suppress_tokens:
             sup = jnp.asarray(list(self.ecfg.suppress_tokens))
@@ -279,14 +281,14 @@ class STTEngine:
         n = bucket * e.sample_rate
         audio = np.zeros((1, n), np.float32)
         audio[0, : min(len(req.audio), n)] = req.audio[:n]
-        enc = self._encode_fns[bucket](jnp.asarray(audio))
+        enc = self._encode_fns[bucket](self.params, jnp.asarray(audio))
         enc_len = enc.shape[1]
 
         prompt = self._build_prompt(req)
         P = e.max_prompt_tokens
         toks = np.zeros((1, P), np.int32)
         toks[0, : len(prompt)] = prompt
-        logits, sk, sv = self._prefill_fn(jnp.asarray(toks), enc)
+        logits, sk, sv = self._prefill_fn(self.params, jnp.asarray(toks), enc)
         # no-speech probability from the SOT position's logits
         sot_idx = len(prompt) - 4  # position of sot within prompt
         sot_logits = np.asarray(logits[0, sot_idx + 0])
@@ -296,8 +298,8 @@ class STTEngine:
 
         first_tok = int(np.asarray(logits[0, len(prompt) - 1]).argmax())
         (self.cache, self.enc_mask, self.pos, self.cur_tok, self.done) = self._join_fn(
-            self.cache, self.enc_mask, self.pos, self.cur_tok, self.done,
-            jnp.int32(slot), enc, jnp.int32(enc_len), sk, sv,
+            self.params, self.cache, self.enc_mask, self.pos, self.cur_tok,
+            self.done, jnp.int32(slot), enc, jnp.int32(enc_len), sk, sv,
             jnp.int32(len(prompt)), jnp.int32(first_tok),
         )
         sess = _Slot(req, len(prompt), time.monotonic())
@@ -320,7 +322,8 @@ class STTEngine:
                 return self.n_active > 0
             return False
         (self.cache, self.pos, self.cur_tok, self.done, nxt) = self._step_fn(
-            self.cache, self.enc_mask, self.pos, self.cur_tok, self.done)
+            self.params, self.cache, self.enc_mask, self.pos, self.cur_tok,
+            self.done)
         # one-step software pipeline: dispatch step N, harvest step N-1 while
         # the device computes (the AR feedback loop lives in-device, so the
         # host fetch is pure bookkeeping and can lag one step)

@@ -121,14 +121,16 @@ class TTSEngine:
         self._inflight = None  # (audio, valid, stopped) device refs + n_frames
 
         # -- compiled programs ------------------------------------------------
-        self._join_fn = jax.jit(self._join, donate_argnums=(0,))
+        # params flow as jit arguments (closure-captured arrays are baked
+        # into executables as constants)
+        self._join_fn = jax.jit(self._join, donate_argnums=(1,))
         self._leave_fn = jax.jit(self._leave, donate_argnums=(0,))
         # one fused jit per chunk size: AR decode + postnet + vocoder +
         # context carry -- a single device dispatch and a single
         # device->host fetch per tick (the per-call tunnel/PCIe latency
         # dominates otherwise)
         self._step_fns = {
-            n: jax.jit(partial(self._step_fused, n_frames=n), donate_argnums=(0,))
+            n: jax.jit(partial(self._step_fused, n_frames=n), donate_argnums=(1,))
             for n in sorted(set(ecfg.chunk_schedule))
         }
 
@@ -150,11 +152,11 @@ class TTSEngine:
             mel_ctx=jnp.zeros((B, ecfg.pre_frames, M), ecfg.dtype),
         )
 
-    def _join(self, state: TTSState, slot, input_ids, attn_mask, spk):
+    def _join(self, params, state: TTSState, slot, input_ids, attn_mask, spk):
         """Encode one session's text and write it into ``slot`` (jitted)."""
         cfg = self.cfg
         spk = spk.astype(self.ecfg.dtype)
-        enc = st5.encode_text(self.params, cfg, input_ids, attn_mask)  # [1,S,D]
+        enc = st5.encode_text(params, cfg, input_ids, attn_mask)  # [1,S,D]
         enc = enc.astype(self.ecfg.dtype)
         from ..models import layers as L
 
@@ -163,7 +165,7 @@ class TTSEngine:
                                          n_heads=cfg.decoder_attention_heads)
             return None, (k, v)
 
-        _, (ck, cv) = jax.lax.scan(ckv, None, self.params["dec_layers"])
+        _, (ck, cv) = jax.lax.scan(ckv, None, params["dec_layers"])
         # ck/cv: [L,1,H,S,Dh]
         cache = state.cache
         zeros_k = jnp.zeros_like(cache.self_k[:, 0])
@@ -193,7 +195,7 @@ class TTSEngine:
 
     # -- decode ---------------------------------------------------------------
 
-    def _decode_chunk(self, state: TTSState, rng, *, n_frames: int):
+    def _decode_chunk(self, params, state: TTSState, rng, *, n_frames: int):
         """Run ``n_frames // r`` AR steps for all slots (jitted, donated)."""
         cfg, ecfg = self.cfg, self.ecfg
         r = cfg.reduction_factor
@@ -203,12 +205,12 @@ class TTSEngine:
             state, rng = carry
             rng, sub = jax.random.split(rng)
             x = st5.decoder_prenet(
-                self.params, cfg, state.prev_mel, state.spk,
+                params, cfg, state.prev_mel, state.spk,
                 step_offset=state.pos, dropout_rng=sub,
             )
-            h, cache = st5.decode_step(self.params, cfg, x, state.cache,
+            h, cache = st5.decode_step(params, cfg, x, state.cache,
                                        state.pos, enc_mask=state.enc_mask)
-            mel, logits = st5.feat_and_prob(self.params, cfg, h)  # [B,r,M],[B,r]
+            mel, logits = st5.feat_and_prob(params, cfg, h)  # [B,r,M],[B,r]
             stop_now = jnp.any(jax.nn.sigmoid(logits) > ecfg.stop_threshold, axis=-1)
             stop_now = jnp.logical_and(stop_now, state.pos >= ecfg.min_steps)
             stopped = jnp.logical_or(state.stopped, stop_now)
@@ -230,15 +232,17 @@ class TTSEngine:
         frame_valid = jnp.repeat(run_flags.T, r, axis=1)  # [B, n_frames]
         return state, mels, frame_valid
 
-    def _step_fused(self, state: TTSState, seed, *, n_frames: int):
+    def _step_fused(self, params, state: TTSState, seed, *, n_frames: int):
         """Fused tick: decode chunk + vocode + state carry (jitted, donated).
 
         ``seed``: host uint32 scalar; the PRNG key derives inside the program
         so a tick costs exactly ONE dispatch (per-call tunnel/PCIe latency
         dominates the 20 ms compute otherwise)."""
         rng = jax.random.PRNGKey(seed)
-        state, mels, frame_valid = self._decode_chunk(state, rng, n_frames=n_frames)
-        audio, new_ctx = self._vocode(state.mel_ctx, mels, n_frames=n_frames)
+        state, mels, frame_valid = self._decode_chunk(params, state, rng,
+                                                      n_frames=n_frames)
+        audio, new_ctx = self._vocode(params, state.mel_ctx, mels,
+                                      n_frames=n_frames)
         state = state._replace(mel_ctx=new_ctx)
         # NOTE: do not return state.stopped here -- it would alias the donated
         # state buffer and die when the next tick is dispatched before this
@@ -246,12 +250,12 @@ class TTSEngine:
         # host-side from frame_valid instead.
         return state, audio, frame_valid
 
-    def _vocode(self, state_mel_ctx, mels, *, n_frames: int):
+    def _vocode(self, params, state_mel_ctx, mels, *, n_frames: int):
         """Postnet + vocoder + smoother over chunk with left context (jitted)."""
         cfg, ecfg = self.cfg, self.ecfg
         pre = ecfg.pre_frames
         full = jnp.concatenate([state_mel_ctx, mels], axis=1)  # [B, pre+C, M]
-        refined = st5.postnet(self.params, cfg, full)
+        refined = st5.postnet(params, cfg, full)
         audio = hfg.apply(self.voc_params, self.voc_cfg, refined)
         fs = self.voc_cfg.total_upsample
         if self.amd_params is not None:
@@ -309,8 +313,8 @@ class TTSEngine:
         ids[0, :n] = input_ids[:n]
         mask[0, :n] = 1
         self.state = self._join_fn(
-            self.state, jnp.int32(slot), jnp.asarray(ids), jnp.asarray(mask),
-            jnp.asarray(speaker_emb[None].astype(np.float32)),
+            self.params, self.state, jnp.int32(slot), jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(speaker_emb[None].astype(np.float32)),
         )
         sid = self._next_sid
         self._next_sid += 1
@@ -357,7 +361,7 @@ class TTSEngine:
 
         self._seed = np.uint32(self._seed + 1)
         self.state, audio, frame_valid = self._step_fns[n_frames](
-            self.state, self._seed)
+            self.params, self.state, self._seed)
         # one-tick software pipeline: dispatch tick N, then harvest tick N-1
         # while the device computes -- the blocking fetch hides under this
         # tick's compute, so steady-state step time ~= device time
