@@ -16,8 +16,7 @@ from __future__ import annotations
 import audioop  # stdlib (Python <= 3.12); used only for ad-hoc decode helpers
 import io
 import wave
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
 

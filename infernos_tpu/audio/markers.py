@@ -8,7 +8,7 @@ actually reaches that point in the stream -- e.g. "sentence N is done playing"
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 
 class ASMarkerGeneric:

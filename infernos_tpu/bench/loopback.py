@@ -19,7 +19,6 @@ from __future__ import annotations
 import difflib
 import json
 import os
-import time
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 

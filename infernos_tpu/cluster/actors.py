@@ -22,7 +22,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Any, Callable, Dict, Optional, Type
+from typing import Dict, Optional, Type
 
 from ..utils.logging import get_logger
 

@@ -21,7 +21,6 @@ import uuid as uuid_mod
 from typing import Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..models import hifigan as hfg
 from ..models import presets

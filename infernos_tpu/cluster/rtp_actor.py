@@ -12,7 +12,7 @@ actor mailbox (``:67-69``).
 from __future__ import annotations
 
 import uuid as uuid_mod
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from ..media.endpoint import RTPEndpoint, RTPParams
 from ..media.ingest import AudioInput, RTPIngest

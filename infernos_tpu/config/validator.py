@@ -11,7 +11,7 @@ the subset of its schema language the config surface uses: ``type``,
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List
 
 import yaml
 

@@ -18,7 +18,7 @@ from ..audio.markers import ASMarkerGeneric
 from ..utils.logging import get_logger
 from .ingest import AudioInput, RTPInStream, RTPIngest
 from .pacer import RTPOutputWorker
-from .udp import RTPPortAllocator, UdpServer
+from .udp import RTPPortAllocator
 
 log = get_logger("media.endpoint")
 

@@ -22,7 +22,7 @@ import dataclasses
 from enum import Enum
 from typing import Dict, List, Optional
 
-from .rtp import RTPPacket, RTPParseError
+from .rtp import RTPPacket
 
 
 class RTPFrameType(Enum):

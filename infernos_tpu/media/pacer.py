@@ -21,8 +21,6 @@ import time
 from fractions import Fraction
 from typing import Callable, Optional, Union
 
-import numpy as np
-
 from ..audio.chunk import AudioChunk
 from ..audio.markers import ASMarkerGeneric
 from ..audio.muxer import MTMuxer

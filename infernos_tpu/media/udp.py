@@ -13,7 +13,7 @@ import random
 import socket
 import threading
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 
 class UdpServer:

@@ -16,7 +16,7 @@ bit-stable; training/porting can refine it later.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

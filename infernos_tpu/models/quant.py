@@ -15,7 +15,7 @@ accordingly.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

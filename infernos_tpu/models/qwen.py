@@ -15,7 +15,7 @@ fp32, rotate-half RoPE, GQA, SwiGLU, qkv bias) so checkpoints port via
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,7 @@ TPU-first design (contrast with the reference's per-step torch Python loop):
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

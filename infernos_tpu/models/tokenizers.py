@@ -9,7 +9,7 @@ pipeline stage runs end-to-end; when checkpoints are available the
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -9,7 +9,6 @@ success/failure to a callback.
 from __future__ import annotations
 
 import asyncio
-import re
 from typing import Callable, Optional, Tuple
 
 from ..utils.logging import get_logger

@@ -9,12 +9,11 @@ and build an answer advertising our RTP address/port/codec.
 
 from __future__ import annotations
 
-import secrets
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple, Type
 
-from ..audio.codecs import CODECS, G711Codec
+from ..audio.codecs import CODECS
 from ..media.endpoint import RTPParams
 
 

@@ -19,10 +19,10 @@ import hashlib
 import re
 import secrets
 import time
-from typing import Awaitable, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 from ..utils.logging import get_logger
-from .message import NameAddr, SipMessage, SipURI, gen_branch, gen_call_id, gen_tag
+from .message import NameAddr, SipMessage, SipURI, gen_branch, gen_call_id
 
 log = get_logger("sip.stack")
 

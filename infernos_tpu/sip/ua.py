@@ -17,9 +17,8 @@ hooks, keeping signaling/media planes decoupled.
 
 from __future__ import annotations
 
-import asyncio
 import uuid as uuid_mod
-from typing import Awaitable, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 from ..utils.logging import get_logger
 from .message import NameAddr, SipMessage, SipURI, gen_tag

@@ -13,7 +13,6 @@ chip).  An ``EchoBackend`` keeps offline tests deterministic.
 from __future__ import annotations
 
 import threading
-from functools import lru_cache
 from typing import Callable, Dict, List, Optional, Tuple
 
 SUPPORTED_LANGS = ["en", "it", "de", "ru", "ja", "pt", "es", "fr"]
