@@ -128,9 +128,12 @@ class LLMEngine:
 
     # -- jitted programs ------------------------------------------------------
 
-    def _prefill_bucket(self, params, tokens, *, n_tokens: int):
+    def _prefill_bucket(self, params, tokens, prompt_len, *, n_tokens: int):
         logits, ks, vs = qwen.prefill(params, self.cfg, tokens)
-        return logits, ks.astype(self.ecfg.dtype), vs.astype(self.ecfg.dtype)
+        # argmax reduces on device: the host fetches one scalar, not a
+        # [vocab]-sized logits row
+        first_tok = jnp.argmax(logits[0, prompt_len - 1]).astype(jnp.int32)
+        return first_tok, ks.astype(self.ecfg.dtype), vs.astype(self.ecfg.dtype)
 
     def _join(self, params, cache, pos, cur_tok, done, slot, ks, vs, prompt_len, first_tok):
         P = ks.shape[3]
@@ -166,7 +169,8 @@ class LLMEngine:
         """Compile all bucket programs + the step (reference warm-up trick,
         ``Cluster/InfernLLMActor.py:30-40``)."""
         for n in self.ecfg.prompt_buckets:
-            self._prefill_fns[n](self.params, jnp.zeros((1, n), jnp.int32))
+            self._prefill_fns[n](self.params, jnp.zeros((1, n), jnp.int32),
+                                 jnp.int32(1))
         # the step donates the cache: reassign state (all slots are done, so
         # pos/cur_tok stay put)
         (self.cache, self.pos, self.cur_tok, _) = self._step_fn(
@@ -188,8 +192,9 @@ class LLMEngine:
         plen = len(ids)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :plen] = ids
-        logits, ks, vs = self._prefill_fns[bucket](self.params, jnp.asarray(padded))
-        first_tok = int(np.asarray(logits[0, plen - 1]).argmax())
+        first_tok_d, ks, vs = self._prefill_fns[bucket](
+            self.params, jnp.asarray(padded), jnp.int32(plen))
+        first_tok = int(jax.device_get(first_tok_d))
         (self.cache, self.pos, self.cur_tok, self.done) = self._join_fn(
             self.params, self.cache, self.pos, self.cur_tok, self.done,
             jnp.int32(slot), ks, vs, jnp.int32(plen), jnp.int32(first_tok))

@@ -147,12 +147,14 @@ class STTEngine:
         mel = log_mel_jax(audio, n_mels=self.cfg.num_mel_bins)
         return wsp.encode(params, self.cfg, mel.astype(self.ecfg.dtype))
 
-    def _prefill(self, params, tokens, enc_out):
+    def _prefill(self, params, tokens, enc_out, prompt_len):
         """Teacher-forced prompt pass that also returns self-attn K/V.
 
-        tokens ``[1, P]`` (P = max_prompt_tokens, left-padded with zeros is
-        NOT supported -- prompts are right-padded and masked by length).
-        Returns (logits ``[1, P, V]``, self_k, self_v ``[L, 1, H, P, Dh]``).
+        tokens ``[1, P]`` (P = max_prompt_tokens, right-padded, masked by
+        ``prompt_len``).  Returns (first_tok scalar, ns_prob scalar,
+        self_k, self_v ``[L, 1, H, P, Dh]``) -- the argmax and no-speech
+        probability reduce ON DEVICE so the host fetches two scalars
+        instead of a [P, vocab] logits tensor.
         """
         cfg = self.cfg
         B, T = tokens.shape
@@ -178,7 +180,14 @@ class STTEngine:
         x, (ks, vs) = jax.lax.scan(body, x, params["dec_layers"])
         x = L.layer_norm(x, params["dec_ln"])
         logits = jnp.einsum("btd,vd->btv", x, params["tok_embed"]["w"])
-        return logits, ks, vs
+        first_tok = jnp.argmax(logits[0, prompt_len - 1]).astype(jnp.int32)
+        # no-speech probability from the SOT position (prompt layout:
+        # [...context, sot, lang, task, notimestamps])
+        sot_logits = logits[0, prompt_len - 4]
+        probs = jax.nn.softmax(sot_logits.astype(jnp.float32))
+        ns_prob = probs[self.ecfg.no_speech] if self.ecfg.no_speech < probs.shape[0] \
+            else jnp.float32(0.0)
+        return first_tok, ns_prob, ks, vs
 
     def _join(self, params, cache, enc_mask, pos, cur_tok, done, slot,
               enc_out, enc_len, self_k, self_v, prompt_len, first_tok):
@@ -288,15 +297,10 @@ class STTEngine:
         P = e.max_prompt_tokens
         toks = np.zeros((1, P), np.int32)
         toks[0, : len(prompt)] = prompt
-        logits, sk, sv = self._prefill_fn(self.params, jnp.asarray(toks), enc)
-        # no-speech probability from the SOT position's logits
-        sot_idx = len(prompt) - 4  # position of sot within prompt
-        sot_logits = np.asarray(logits[0, sot_idx + 0])
-        probs = np.exp(sot_logits - sot_logits.max())
-        probs /= probs.sum()
-        ns_prob = float(probs[e.no_speech]) if e.no_speech < len(probs) else 0.0
-
-        first_tok = int(np.asarray(logits[0, len(prompt) - 1]).argmax())
+        first_tok_d, ns_prob_d, sk, sv = self._prefill_fn(
+            self.params, jnp.asarray(toks), enc, jnp.int32(len(prompt)))
+        first_tok, ns_prob = jax.device_get((first_tok_d, ns_prob_d))
+        first_tok, ns_prob = int(first_tok), float(ns_prob)
         (self.cache, self.enc_mask, self.pos, self.cur_tok, self.done) = self._join_fn(
             self.params, self.cache, self.enc_mask, self.pos, self.cur_tok,
             self.done, jnp.int32(slot), enc, jnp.int32(enc_len), sk, sv,
