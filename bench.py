@@ -59,6 +59,10 @@ def main() -> None:
 
     params = zeros_like_init(lambda k: st5.init_params(k, cfg))
     voc_params = zeros_like_init(lambda k: hfg.init_params(k, voc))
+    if os.environ.get("BENCH_INT8"):
+        from infernos_tpu.models import quant
+
+        params = jax.jit(lambda p: quant.quantize_params(p))(params)
 
     B = int(os.environ.get("BENCH_SLOTS", "16"))
     ecfg = TTSEngineConfig(
