@@ -45,24 +45,29 @@ class ActorHandle:
         self.name = name
         self._q: "queue.Queue" = queue.Queue()
         self._threads = [
-            threading.Thread(target=self._loop, daemon=True,
+            threading.Thread(target=self._loop, args=(i,), daemon=True,
                              name=f"actor:{name}:{i}")
             for i in range(max_concurrency)
         ]
         self._started = threading.Event()
         self._stopping = False
+        self._exit_lock = threading.Lock()
+        self._exited = 0
         for t in self._threads:
             t.start()
 
     # -- mailbox ----------------------------------------------------------------
-    def _loop(self) -> None:
-        first = not self._started.is_set()
-        if first:
-            self._started.set()
+    def _loop(self, idx: int) -> None:
+        # exactly thread 0 runs on_start; the rest wait for it so no message
+        # is processed before initialization completes
+        if idx == 0:
             try:
                 self._actor.on_start()
             except Exception:
                 log.exception("actor %s on_start failed", self.name)
+            self._started.set()
+        else:
+            self._started.wait()
         while True:
             item = self._q.get()
             if item is None:
@@ -77,10 +82,15 @@ class ActorHandle:
                     fut.set_exception(e)
                 else:
                     log.exception("actor %s.%s failed", self.name, method)
-        try:
-            self._actor.on_stop()
-        except Exception:
-            log.exception("actor %s on_stop failed", self.name)
+        # the LAST exiting thread runs on_stop (exactly once)
+        with self._exit_lock:
+            self._exited += 1
+            last = self._exited == len(self._threads)
+        if last:
+            try:
+                self._actor.on_stop()
+            except Exception:
+                log.exception("actor %s on_stop failed", self.name)
 
     # -- calling conventions -------------------------------------------------------
     def call(self, method: str, *args, **kw) -> None:

@@ -94,4 +94,5 @@ class RTPEndpoint:
     def shutdown(self) -> None:
         self.writer.end()
         self.udp.shutdown()
+        self.stream_in.release()
         self.allocator.release(self.udp.laddr[1])

@@ -80,6 +80,11 @@ class RTPInStream:
     def rtp_received(self, data: bytes, address, rtime: float) -> None:
         self.ring.pkt_queue.put(_WIPkt(self, data, address, rtime))
 
+    def release(self) -> None:
+        """Free this stream's VAD model-state slot (call at leg teardown --
+        the worker has a bounded slot table)."""
+        self.ring.vad_worker.release_channel(self.vchan)
+
     def stream_update(self) -> None:
         self.ring.pkt_queue.put(_WIStreamUpdate(self))
 

@@ -177,7 +177,12 @@ class VADWorker(BatchedWorker):
             slot = self._chan_slots.get(id(ch))
             if slot is None:
                 used = set(self._chan_slots.values())
-                slot = next(i for i in range(self.max_batch_size) if i not in used)
+                slot = next((i for i in range(self.max_batch_size)
+                             if i not in used), None)
+                if slot is None:
+                    raise RuntimeError(
+                        "VAD model-state slots exhausted: streams must call "
+                        "release() at teardown (RTPInStream.release)")
                 self._chan_slots[id(ch)] = slot
                 self._model.reset_channel(slot)
             idxs.append(slot)
