@@ -115,6 +115,9 @@ class LLMEngine:
         self.slots: List[Optional[_Slot]] = [None] * B
         self._lock = threading.RLock()
         self._inflight = None  # one-step pipelined harvest buffers
+        from collections import deque
+
+        self._pending = deque()  # requests waiting for a free slot
 
         # params flow as jit ARGUMENTS (not closure captures): captured
         # concrete arrays are baked into each executable as constants --
@@ -177,13 +180,15 @@ class LLMEngine:
             self.params, self.cache, self.pos, self.cur_tok, self.done)
 
     def submit(self, req: LLMRequest) -> int:
+        """Prefill + join (queued if slots are full; -1 when queued)."""
         with self._lock:
+            if not self.free_slots():
+                self._pending.append(req)
+                return -1
             return self._submit_locked(req)
 
     def _submit_locked(self, req: LLMRequest) -> int:
         free = self.free_slots()
-        if not free:
-            raise RuntimeError("no free LLM slots")
         slot = free[0]
         ids = np.asarray(req.prompt_ids, np.int32)
         bucket = next((b for b in self.ecfg.prompt_buckets if len(ids) <= b),
@@ -251,6 +256,8 @@ class LLMEngine:
 
     def _finish(self, slot: int, s: _Slot) -> None:
         self.slots[slot] = None
+        if self._pending:
+            self._submit_locked(self._pending.popleft())
         metrics.observe("llm.gen_time", time.monotonic() - s.req.stime)
         metrics.inc("llm.tokens", s.new_tokens)
         s.streamer.finish()

@@ -129,6 +129,9 @@ class STTEngine:
         self.slots: List[Optional[_Slot]] = [None] * B
         self._lock = threading.RLock()
         self._inflight = None  # one-step pipelined harvest buffers
+        from collections import deque
+
+        self._pending = deque()  # requests waiting for a free slot
 
         # params flow as jit arguments (closure-captured arrays are baked
         # into executables as constants -- fatal at whisper-large scale)
@@ -276,14 +279,19 @@ class STTEngine:
                     pass
 
     def submit(self, req: STTRequest) -> int:
-        """Encode + prefill + join one utterance.  Returns slot index."""
+        """Encode + prefill + join one utterance (queued if slots are full).
+
+        Returns the slot index, or -1 if queued (the reference's worker
+        queues whole requests the same way, Cluster/InfernBatchedWorker.py).
+        """
         with self._lock:
+            if not self.free_slots():
+                self._pending.append(req)
+                return -1
             return self._submit_locked(req)
 
     def _submit_locked(self, req: STTRequest) -> int:
         free = self.free_slots()
-        if not free:
-            raise RuntimeError("no free STT slots")
         slot = free[0]
         e = self.ecfg
         bucket = self._bucket_for(len(req.audio))
@@ -352,6 +360,8 @@ class STTEngine:
 
     def _finish(self, slot: int, sess: _Slot) -> None:
         self.slots[slot] = None
+        if self._pending:
+            self._submit_locked(self._pending.popleft())
         req = sess.req
         res = STTResult(
             tokens=sess.tokens,

@@ -119,6 +119,9 @@ class TTSEngine:
         self._seed = np.uint32(rng_seed)
         self._next_sid = 0
         self._inflight = None  # (audio, valid, stopped) device refs + n_frames
+        from collections import deque
+
+        self._pending = deque()  # sessions waiting for a free slot
 
         # -- compiled programs ------------------------------------------------
         # params flow as jit arguments (closure-captured arrays are baked
@@ -297,14 +300,18 @@ class TTSEngine:
         ``HelloSippyRTPipe.py:252-255``).
         """
         with self._lock:
+            if not self.free_slots():
+                sid = self._next_sid
+                self._next_sid += 1
+                self._pending.append((sid, input_ids, speaker_emb, callback,
+                                      max_frames))
+                return sid
             return self._start_session_locked(input_ids, speaker_emb, callback,
                                               max_frames)
 
     def _start_session_locked(self, input_ids, speaker_emb, callback,
-                              max_frames=None) -> int:
+                              max_frames=None, sid=None) -> int:
         free = self.free_slots()
-        if not free:
-            raise RuntimeError("no free TTS slots")
         slot = free[0]
         S = self.ecfg.max_text_tokens
         ids = np.zeros((1, S), np.int32)
@@ -316,8 +323,9 @@ class TTSEngine:
             self.params, self.state, jnp.int32(slot), jnp.asarray(ids),
             jnp.asarray(mask), jnp.asarray(speaker_emb[None].astype(np.float32)),
         )
-        sid = self._next_sid
-        self._next_sid += 1
+        if sid is None:
+            sid = self._next_sid
+            self._next_sid += 1
         sess = _Session(sid, slot, callback,
                         max_frames or (self.ecfg.max_steps * self.cfg.reduction_factor))
         self.sessions[slot] = sess
@@ -330,6 +338,11 @@ class TTSEngine:
             for s in self.sessions:
                 if s is not None and s.sid == sid:
                     s.cancelled = True
+                    return
+            for item in list(self._pending):
+                if item[0] == sid:
+                    self._pending.remove(item)
+                    item[3](None)  # EOS to the queued session's callback
                     return
 
     @property
@@ -404,4 +417,7 @@ class TTSEngine:
                 sess.callback(None)
                 self.sessions[slot] = None
                 self.state = self._leave_fn(self.state, jnp.int32(slot))
+        while self._pending and self.free_slots():
+            sid, ids, spk, cb, mf = self._pending.popleft()
+            self._start_session_locked(ids, spk, cb, mf, sid=sid)
         metrics.set("tts.active_slots", self.n_active)

@@ -133,16 +133,18 @@ def test_cancel_session(engine):
     assert engine.n_active == 0
 
 
-def test_slots_exhausted_raises(engine):
+def test_slots_exhausted_queues(engine):
+    """A 5th session beyond the 4 slots queues and plays once a slot frees."""
     rng = np.random.default_rng(3)
     spk = rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32)
     cbs = []
-    for i in range(4):
+    for i in range(5):
         cbs.append([])
         engine.start_session(np.array([2 + i], np.int32), spk,
                              cbs[-1].append, max_frames=8)
-    with pytest.raises(RuntimeError):
-        engine.start_session(np.array([2], np.int32), spk, lambda a: None)
+    assert len(engine._pending) == 1
     while engine.step():
         pass
-    assert engine.n_active == 0
+    for got in cbs:
+        assert got and got[-1] is None  # all five delivered EOS
+    assert engine.n_active == 0 and not engine._pending
