@@ -55,6 +55,9 @@ def build_cluster(iconf: InfernConfig, tiny: bool = False,
     sip_actr = spawn(SIPAgent, iconf, rtp_actr, app_actors, name="sip",
                      max_concurrency=2)
     handles["sip"] = sip_actr
+    # fail fast if the signaling plane could not bind (a half-up daemon that
+    # loads models but serves no calls is worse than a crash)
+    sip_actr.ask_sync("ready_check", timeout=30)
     for key, h in app_actors.items():
         h.ask_sync("start", h, sip_actr, rtp_actr, timeout=900)
     return handles

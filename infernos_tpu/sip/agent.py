@@ -158,6 +158,12 @@ class SIPAgent(Actor):
     def local_addr(self) -> Tuple[str, int]:
         return self.stack.local_addr
 
+    def ready_check(self) -> Tuple[str, int]:
+        """Raises if the signaling stack failed to come up (e.g. bind error)."""
+        if self.stack is None or self.stack.transport is None:
+            raise RuntimeError("SIP stack is not listening (bind failed?)")
+        return self.stack.local_addr
+
     # -- inbound ----------------------------------------------------------------
     def _match_profile(self, addr) -> Optional[SIPProfileConf]:
         """Route inbound INVITEs to a connector with a sink: exact source
