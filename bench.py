@@ -21,12 +21,15 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache (env vars are too late: the axon
+# sitecustomize pre-imports jax, so set it through jax.config)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main() -> None:
