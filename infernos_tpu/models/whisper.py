@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import layers as L
+from .whisper_tokens import specials_for_vocab
 
 
 @dataclasses.dataclass(frozen=True)
@@ -296,7 +297,11 @@ def port_from_hf(model) -> Tuple[Dict[str, Any], WhisperConfig]:
         max_target_positions=hc.max_target_positions,
         eos_token_id=hc.eos_token_id,
         sot_token_id=getattr(gen, "decoder_start_token_id", hc.decoder_start_token_id),
-        no_speech_token_id=getattr(gen, "no_timestamps_token_id", 50363) or 50363,
+        # <|nospeech|> depends on the vocabulary layout (50362 in the
+        # 51865-token v2 vocab, 50363 in v3); HF generation configs carry
+        # no_timestamps but NOT no-speech, so resolve it from the vocab size
+        # via the vendored table (models/whisper_tokens.py).
+        no_speech_token_id=specials_for_vocab(hc.vocab_size).nospeech,
     )
     enc = model.model.encoder
     dec = model.model.decoder

@@ -111,6 +111,7 @@ class STTSession:
                     text_cb=lambda res, r=req: self._on_result(r, res),
                     lang=req.lang,
                     mode=req.mode,
+                    timestamps=req.timestamps,
                     context=(np.asarray(self.context, np.int64)
                              if self.context else None),
                     max_ns_prob=req.max_ns_prob,

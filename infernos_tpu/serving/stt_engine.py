@@ -23,7 +23,7 @@ import dataclasses
 import threading
 import time
 from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,21 +38,22 @@ from ..utils.metrics import metrics
 log = get_logger("serving.stt")
 
 
-# Whisper large-v3 special-token defaults; override from a real tokenizer
-# when available (ids differ between v2/v3 vocabularies).
-LANG_TOKENS_V3 = {
-    "en": 50259, "zh": 50260, "de": 50261, "es": 50262, "ru": 50263,
-    "ko": 50264, "fr": 50265, "ja": 50266, "pt": 50267, "tr": 50268,
-    "pl": 50269, "ca": 50270, "nl": 50271, "ar": 50272, "sv": 50273,
-    "it": 50274, "id": 50275, "hi": 50276, "fi": 50277, "vi": 50278,
-}
-TASK_TRANSCRIBE_V3 = 50360
-TASK_TRANSLATE_V3 = 50359
-NO_TIMESTAMPS_V3 = 50364
-NO_SPEECH_V3 = 50362
-EOT_V3 = 50257
-SOT_V3 = 50258
-SOT_PREV_V3 = 50362  # <|startofprev|> is 50362 in v2; engines pass real ids
+# Whisper special-token layouts are vendored in models/whisper_tokens.py
+# (the reference reads them from the HF tokenizer at runtime,
+# Cluster/InfernSTTWorker.py:54).  v3 ids re-exported for convenience.
+from ..models.whisper_tokens import (  # noqa: E402
+    BEGIN_SUPPRESS, LANGUAGES, LANG_BASE, SPECIALS_V3, SUPPRESS_V3, V2_VOCAB,
+    WhisperSpecials, specials_for_vocab,
+)
+
+LANG_TOKENS_V3 = {code: LANG_BASE + i for i, code in enumerate(LANGUAGES)}
+TASK_TRANSCRIBE_V3 = SPECIALS_V3.transcribe  # 50360
+TASK_TRANSLATE_V3 = SPECIALS_V3.translate    # 50359
+NO_TIMESTAMPS_V3 = SPECIALS_V3.notimestamps  # 50364
+NO_SPEECH_V3 = SPECIALS_V3.nospeech          # 50363 (<|nospeech|>)
+EOT_V3 = SPECIALS_V3.eot
+SOT_V3 = SPECIALS_V3.sot
+SOT_PREV_V3 = SPECIALS_V3.startofprev        # 50362 (v2's is 50361)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,11 +71,29 @@ class STTEngineConfig:
     task_translate: int = TASK_TRANSLATE_V3
     no_timestamps: int = NO_TIMESTAMPS_V3
     no_speech: int = NO_SPEECH_V3
-    suppress_tokens: Sequence[int] = ()
+    sot_prev: int = SOT_PREV_V3
+    # None = auto: the vendored non-speech set when the model has a real
+    # whisper vocabulary, nothing for tiny test vocabs.
+    suppress_tokens: Optional[Sequence[int]] = None
+    begin_suppress_tokens: Optional[Sequence[int]] = None
 
     @property
     def max_total_tokens(self) -> int:
         return self.max_prompt_tokens + self.max_new_tokens
+
+    @classmethod
+    def for_specials(cls, specials: WhisperSpecials, **kw) -> "STTEngineConfig":
+        """Config wired to a resolved token layout (v2 or v3)."""
+        base = specials.lang_token(LANGUAGES[0])
+        langs = {code: base + i
+                 for i, code in enumerate(LANGUAGES[: specials.n_langs])}
+        kw.setdefault("lang_tokens", langs)
+        kw.setdefault("task_transcribe", specials.transcribe)
+        kw.setdefault("task_translate", specials.translate)
+        kw.setdefault("no_timestamps", specials.notimestamps)
+        kw.setdefault("no_speech", specials.nospeech)
+        kw.setdefault("sot_prev", specials.startofprev)
+        return cls(**kw)
 
 
 @dataclasses.dataclass
@@ -86,6 +105,7 @@ class STTRequest:
     text_cb: Callable[["STTResult"], None]
     lang: str = "en"
     mode: str = "transcribe"  # or "translate"
+    timestamps: bool = False  # reference Cluster/STTSession.py:17-20
     context: Optional[np.ndarray] = None  # previous token ids
     max_ns_prob: float = 0.5
 
@@ -150,14 +170,17 @@ class STTEngine:
         mel = log_mel_jax(audio, n_mels=self.cfg.num_mel_bins)
         return wsp.encode(params, self.cfg, mel.astype(self.ecfg.dtype))
 
-    def _prefill(self, params, tokens, enc_out, prompt_len):
+    def _prefill(self, params, tokens, enc_out, prompt_len, sot_pos):
         """Teacher-forced prompt pass that also returns self-attn K/V.
 
         tokens ``[1, P]`` (P = max_prompt_tokens, right-padded, masked by
         ``prompt_len``).  Returns (first_tok scalar, ns_prob scalar,
         self_k, self_v ``[L, 1, H, P, Dh]``) -- the argmax and no-speech
         probability reduce ON DEVICE so the host fetches two scalars
-        instead of a [P, vocab] logits tensor.
+        instead of a [P, vocab] logits tensor.  ``sot_pos`` is the index of
+        ``<|startoftranscript|>`` inside the prompt: no-speech probability is
+        read from that position's output distribution (OpenAI semantics; the
+        position varies with rolling context / timestamps flag).
         """
         cfg = self.cfg
         B, T = tokens.shape
@@ -183,10 +206,13 @@ class STTEngine:
         x, (ks, vs) = jax.lax.scan(body, x, params["dec_layers"])
         x = L.layer_norm(x, params["dec_ln"])
         logits = jnp.einsum("btd,vd->btv", x, params["tok_embed"]["w"])
-        first_tok = jnp.argmax(logits[0, prompt_len - 1]).astype(jnp.int32)
-        # no-speech probability from the SOT position (prompt layout:
-        # [...context, sot, lang, task, notimestamps])
-        sot_logits = logits[0, prompt_len - 4]
+        first_logits = logits[0, prompt_len - 1]
+        sup = self._suppress_ids() + self._begin_suppress_ids()
+        if sup:
+            first_logits = first_logits.at[jnp.asarray(sup)].set(L.NEG_INF)
+        first_tok = jnp.argmax(first_logits).astype(jnp.int32)
+        # no-speech probability from the SOT position's output distribution
+        sot_logits = logits[0, sot_pos]
         probs = jax.nn.softmax(sot_logits.astype(jnp.float32))
         ns_prob = probs[self.ecfg.no_speech] if self.ecfg.no_speech < probs.shape[0] \
             else jnp.float32(0.0)
@@ -229,9 +255,9 @@ class STTEngine:
         """One greedy step for all slots."""
         logits, cache = wsp.decode_step(params, self.cfg, cur_tok, cache,
                                         pos, enc_mask=enc_mask)
-        if self.ecfg.suppress_tokens:
-            sup = jnp.asarray(list(self.ecfg.suppress_tokens))
-            logits = logits.at[:, sup].set(L.NEG_INF)
+        sup = self._suppress_ids()
+        if sup:
+            logits = logits.at[:, jnp.asarray(sup)].set(L.NEG_INF)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         is_eos = nxt == self.cfg.eos_token_id
         new_done = jnp.logical_or(done, is_eos)
@@ -254,16 +280,40 @@ class STTEngine:
                 return s
         return max(self.ecfg.buckets_s)
 
-    def _build_prompt(self, req: STTRequest) -> List[int]:
+    def _suppress_ids(self) -> List[int]:
+        """Resolved non-speech suppress set (trace-time constant).
+
+        Auto mode applies the vendored large-v3 table only when the model
+        actually has a whisper-scale vocabulary; tiny test vocabs get none.
+        """
+        sup = self.ecfg.suppress_tokens
+        if sup is None:
+            sup = SUPPRESS_V3 if self.cfg.vocab_size >= V2_VOCAB else ()
+        return [t for t in sup if t < self.cfg.vocab_size]
+
+    def _begin_suppress_ids(self) -> List[int]:
+        sup = self.ecfg.begin_suppress_tokens
+        if sup is None:
+            sup = BEGIN_SUPPRESS if self.cfg.vocab_size >= V2_VOCAB else ()
+        return [t for t in sup if t < self.cfg.vocab_size]
+
+    def _build_prompt(self, req: STTRequest) -> Tuple[List[int], int]:
+        """Prompt ids + index of the SOT token (whisper_tokens.build_prompt
+        layout: ``[<|startofprev|>, ...ctx,] sot, lang, task[, notimestamps]``)."""
         e = self.ecfg
         lang = e.lang_tokens.get(req.lang, next(iter(e.lang_tokens.values())))
         task = e.task_translate if req.mode == "translate" else e.task_transcribe
-        prompt = []
+        tail = [self.cfg.sot_token_id, lang, task]
+        if not req.timestamps:
+            tail.append(e.no_timestamps)
+        prompt: List[int] = []
         if req.context is not None and len(req.context):
-            ctx = list(req.context)[-(e.max_prompt_tokens - 4):]
-            prompt.extend(ctx)
-        prompt += [self.cfg.sot_token_id, lang, task, e.no_timestamps]
-        return prompt[-e.max_prompt_tokens:]
+            room = e.max_prompt_tokens - len(tail) - 1
+            if room > 0:
+                prompt.append(e.sot_prev)
+                prompt.extend(list(req.context)[-room:])
+        prompt.extend(tail)
+        return prompt, len(prompt) - len(tail)
 
     def warmup(self) -> None:
         """Compile every bucket + prefill + join + step program up front
@@ -301,12 +351,13 @@ class STTEngine:
         enc = self._encode_fns[bucket](self.params, jnp.asarray(audio))
         enc_len = enc.shape[1]
 
-        prompt = self._build_prompt(req)
+        prompt, sot_pos = self._build_prompt(req)
         P = e.max_prompt_tokens
         toks = np.zeros((1, P), np.int32)
         toks[0, : len(prompt)] = prompt
         first_tok_d, ns_prob_d, sk, sv = self._prefill_fn(
-            self.params, jnp.asarray(toks), enc, jnp.int32(len(prompt)))
+            self.params, jnp.asarray(toks), enc, jnp.int32(len(prompt)),
+            jnp.int32(sot_pos))
         first_tok, ns_prob = jax.device_get((first_tok_d, ns_prob_d))
         first_tok, ns_prob = int(first_tok), float(ns_prob)
         (self.cache, self.enc_mask, self.pos, self.cur_tok, self.done) = self._join_fn(
@@ -369,7 +420,13 @@ class STTEngine:
             duration=len(req.audio) / self.ecfg.sample_rate,
             inf_time=time.monotonic() - sess.t_start,
         )
-        res.text = self.detokenize(res.tokens)
+        if req.timestamps and self.cfg.vocab_size >= V2_VOCAB:
+            from ..models.whisper_tokens import decode_with_timestamps
+            res.text = decode_with_timestamps(
+                res.tokens, self.detokenize,
+                specials_for_vocab(self.cfg.vocab_size))
+        else:
+            res.text = self.detokenize(res.tokens)
         metrics.observe("stt.inf_time", res.inf_time)
         metrics.observe("stt.audio_s", res.duration)
         req.text_cb(res)
