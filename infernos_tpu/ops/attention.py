@@ -97,10 +97,21 @@ def fused_attention(q, k, v, *, n_heads: int, mask: Optional[jnp.ndarray] = None
     mask_bh = jnp.repeat(mask_add, n_heads, axis=0)
 
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu" and S % block_q == 0
-    if use_pallas and S % block_q == 0:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        # pad S up to a block_q multiple so the kernel tiles at any bucket
+        # length (production buckets 400/800/1500/1600 are never 128-aligned;
+        # padded key columns are masked, padded query rows sliced off)
+        S_pad = -(-S // block_q) * block_q
+        if S_pad != S:
+            pad = S_pad - S
+            qs = jnp.pad(qs, ((0, 0), (0, pad), (0, 0)))
+            ks = jnp.pad(ks, ((0, 0), (0, pad), (0, 0)))
+            vs = jnp.pad(vs, ((0, 0), (0, pad), (0, 0)))
+            mask_bh = jnp.pad(mask_bh, ((0, 0), (0, pad)),
+                              constant_values=NEG_INF)
         out = _pallas_attention(qs, ks, vs, mask_bh, block_q=block_q,
-                                interpret=interpret)
+                                interpret=interpret)[:, :S]
     else:
         out = _xla_attention(qs, ks, vs, mask_bh)
     return (out.reshape(B, n_heads, S, Dh).transpose(0, 2, 1, 3)

@@ -237,7 +237,6 @@ class LLMEngine:
 
     def _harvest(self, nxt, snapshot) -> None:
         nxt_np = jax.device_get(nxt)
-        done_flags = list(jax.device_get(self.done))
         for i, s in enumerate(snapshot):
             if s is None or self.slots[i] is not s:
                 continue
@@ -246,13 +245,14 @@ class LLMEngine:
             budget = self.ecfg.max_total_tokens - s.prompt_len - 1
             if tok in self.eos_ids or s.new_tokens >= min(limit, budget):
                 self._finish(i, s)
-                done_flags[i] = True
             else:
                 s.streamer.push(tok)
                 s.new_tokens += 1
-        self.done = jnp.asarray([self.slots[i] is None or bool(done_flags[i])
-                                 for i in range(len(self.slots))])
-        return
+        # EOS detection is host-side only, so device ``done`` is exactly
+        # slot emptiness.  Deriving it from occupancy (instead of the
+        # pre-_finish flags) keeps a request that _finish->_submit_locked
+        # just joined into a freed slot alive.
+        self.done = jnp.asarray([s is None for s in self.slots])
 
     def _finish(self, slot: int, s: _Slot) -> None:
         self.slots[slot] = None

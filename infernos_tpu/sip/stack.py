@@ -80,6 +80,7 @@ class SIPStack(asyncio.DatagramProtocol):
         self.local_addr: Tuple[str, int] = bind
         self._client_txns: Dict[str, _ClientTxn] = {}  # branch -> txn
         self._server_last: Dict[str, Tuple[bytes, float]] = {}  # branch+method
+        self._server_last_sweep = time.monotonic()
         #: app hook: called with (SipMessage, source_addr) for new INVITEs
         self.on_invite: Optional[Callable] = None
         #: dialog routing: dialog_id -> handler(msg, addr)
@@ -167,7 +168,17 @@ class SIPStack(asyncio.DatagramProtocol):
             for k, v in extra.items():
                 resp.set(k, v)
         data = resp.build()
-        self._server_last[f"{req.via_branch}:{req.method}"] = (data, time.monotonic())
+        now = time.monotonic()
+        self._server_last[f"{req.via_branch}:{req.method}"] = (data, now)
+        # evict entries past the 32 s retransmission window (amortized
+        # sweep; otherwise a long-running daemon retains every response
+        # it ever sent)
+        if now - self._server_last_sweep > 8.0:
+            self._server_last_sweep = now
+            stale = [k for k, (_, t) in self._server_last.items()
+                     if now - t >= 32.0]
+            for k in stale:
+                del self._server_last[k]
         self.transport.sendto(data, addr)
         return resp
 

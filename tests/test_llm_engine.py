@@ -118,3 +118,29 @@ def test_llm_session_context_merge(engine):
     assert finals and finals[0].is_final
     # assistant turn auto-appended
     assert sess.context[-1]["role"] in ("assistant", "user")
+
+
+def test_queued_request_joins_freed_slot_and_matches_direct_run(engine):
+    """Regression: a request dequeued from _pending into a just-freed slot
+    must decode identically to the same prompt run directly (the old
+    _harvest rebuilt ``done`` after the join and froze the new session,
+    which then streamed one repeated token until the budget)."""
+    p_a = np.arange(3, 8, dtype=np.int32)
+    p_b = np.arange(60, 70, dtype=np.int32)
+
+    direct = []
+    engine.submit(LLMRequest(p_b.copy(), lambda s, f: direct.append(s)))
+    while engine.step():
+        pass
+
+    # fill every slot, then queue p_b behind them
+    sink = lambda s, f: None
+    for _ in range(engine.ecfg.batch_slots):
+        assert engine.submit(LLMRequest(p_a.copy(), sink)) >= 0
+    queued = []
+    assert engine.submit(
+        LLMRequest(p_b.copy(), lambda s, f: queued.append(s))) == -1
+    while engine.step():
+        pass
+    assert engine.n_active == 0
+    assert queued == direct

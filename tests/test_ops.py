@@ -67,3 +67,20 @@ def test_matches_layers_attention():
         jnp.zeros((4, 128), jnp.float32),
     ).reshape(1, 4, 128, 16).transpose(0, 2, 1, 3).reshape(1, 128, 64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pallas_attention_pads_unaligned_seq_lens():
+    """Production bucket lengths (400/1500) are not block_q multiples; the
+    kernel must self-pad and still match XLA."""
+    for S in (400, 1500, 130, 128):
+        rng = np.random.default_rng(S)
+        B, D = 2, 64
+        q = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+        mask = jnp.asarray(np.arange(S)[None, :] < np.array([[S - 7], [S]]))
+        want = fused_attention(q, k, v, n_heads=4, mask=mask, use_pallas=False)
+        got = fused_attention(q, k, v, n_heads=4, mask=mask, use_pallas=True,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[:, :, :],
+                                   np.asarray(want), atol=2e-5)

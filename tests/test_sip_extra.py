@@ -137,3 +137,33 @@ def test_retransmitted_request_gets_cached_response():
 
     hits = _run(scenario())
     assert len(hits) == 1  # app saw the INVITE once; retransmit got the cache
+
+
+def test_server_txn_cache_evicts_stale_entries(monkeypatch):
+    """_server_last must not grow beyond the 32 s retransmission window."""
+    from infernos_tpu.sip import stack as stack_mod
+    from infernos_tpu.sip.message import SipMessage
+
+    st = stack_mod.SIPStack.__new__(stack_mod.SIPStack)
+    st._server_last = {}
+    st._server_last_sweep = 0.0
+
+    class _FakeTransport:
+        def sendto(self, data, addr):
+            pass
+
+    st.transport = _FakeTransport()
+    clock = [1000.0]
+    monkeypatch.setattr(stack_mod.time, "monotonic", lambda: clock[0])
+
+    for i in range(20):
+        req = SipMessage.parse(
+            f"OPTIONS sip:a@b SIP/2.0\r\n"
+            f"Via: SIP/2.0/UDP 1.2.3.4:5060;branch=z9hG4bK{i}\r\n"
+            f"From: <sip:x@y>;tag=f{i}\r\nTo: <sip:a@b>\r\n"
+            f"Call-ID: c{i}\r\nCSeq: 1 OPTIONS\r\n"
+            f"Content-Length: 0\r\n\r\n".encode())
+        st.send_response(req, ("1.2.3.4", 5060), 200, "OK")
+        clock[0] += 10.0
+    # 20 responses over 200 s, 32 s window -> only a handful may remain
+    assert len(st._server_last) <= 6, len(st._server_last)
