@@ -71,7 +71,7 @@ class TTSState(NamedTuple):
 
 class _Session:
     __slots__ = ("sid", "slot", "callback", "frames_sent", "chunks_recv",
-                 "max_frames", "t_start", "t_first", "cancelled")
+                 "max_frames", "t_start", "t_first", "cancelled", "paused")
 
     def __init__(self, sid, slot, callback, max_frames):
         self.sid = sid
@@ -83,6 +83,7 @@ class _Session:
         self.t_start = time.monotonic()
         self.t_first: Optional[float] = None
         self.cancelled = False
+        self.paused = False  # flow control: skip decode while egress is full
 
 
 class TTSEngine:
@@ -198,8 +199,15 @@ class TTSEngine:
 
     # -- decode ---------------------------------------------------------------
 
-    def _decode_chunk(self, params, state: TTSState, rng, *, n_frames: int):
-        """Run ``n_frames // r`` AR steps for all slots (jitted, donated)."""
+    def _decode_chunk(self, params, state: TTSState, rng, paused, *,
+                      n_frames: int):
+        """Run ``n_frames // r`` AR steps for all slots (jitted, donated).
+
+        ``paused``: [B] bool -- flow-controlled slots keep their AR state
+        (prev_mel, pos, mel_ctx) frozen and emit no valid frames this tick;
+        cache writes at their (unadvanced) pos are overwritten by the real
+        step on resume, so pausing is state-transparent.
+        """
         cfg, ecfg = self.cfg, self.ecfg
         r = cfg.reduction_factor
         n_steps = n_frames // r
@@ -214,14 +222,17 @@ class TTSEngine:
             h, cache = st5.decode_step(params, cfg, x, state.cache,
                                        state.pos, enc_mask=state.enc_mask)
             mel, logits = st5.feat_and_prob(params, cfg, h)  # [B,r,M],[B,r]
+            run = jnp.logical_and(state.active, jnp.logical_not(state.stopped))
+            run = jnp.logical_and(run, jnp.logical_not(paused))
             stop_now = jnp.any(jax.nn.sigmoid(logits) > ecfg.stop_threshold, axis=-1)
             stop_now = jnp.logical_and(stop_now, state.pos >= ecfg.min_steps)
+            stop_now = jnp.logical_and(stop_now, run)  # paused logits are stale
             stopped = jnp.logical_or(state.stopped, stop_now)
-            run = jnp.logical_and(state.active, jnp.logical_not(state.stopped))
             new_pos = jnp.where(run, state.pos + 1, state.pos)
             state = state._replace(
                 cache=cache,
-                prev_mel=mel[:, -1:, :],
+                prev_mel=jnp.where(run[:, None, None], mel[:, -1:, :],
+                                   state.prev_mel),
                 pos=new_pos,
                 stopped=stopped,
             )
@@ -235,7 +246,8 @@ class TTSEngine:
         frame_valid = jnp.repeat(run_flags.T, r, axis=1)  # [B, n_frames]
         return state, mels, frame_valid
 
-    def _step_fused(self, params, state: TTSState, seed, *, n_frames: int):
+    def _step_fused(self, params, state: TTSState, seed, paused, *,
+                    n_frames: int):
         """Fused tick: decode chunk + vocode + state carry (jitted, donated).
 
         ``seed``: host uint32 scalar; the PRNG key derives inside the program
@@ -243,9 +255,11 @@ class TTSEngine:
         dominates the 20 ms compute otherwise)."""
         rng = jax.random.PRNGKey(seed)
         state, mels, frame_valid = self._decode_chunk(params, state, rng,
-                                                      n_frames=n_frames)
+                                                      paused, n_frames=n_frames)
         audio, new_ctx = self._vocode(params, state.mel_ctx, mels,
                                       n_frames=n_frames)
+        ran_any = jnp.any(frame_valid, axis=1)  # paused/idle slots keep ctx
+        new_ctx = jnp.where(ran_any[:, None, None], new_ctx, state.mel_ctx)
         state = state._replace(mel_ctx=new_ctx)
         # NOTE: do not return state.stopped here -- it would alias the donated
         # state buffer and die when the next tick is dispatched before this
@@ -345,6 +359,23 @@ class TTSEngine:
                     item[3](None)  # EOS to the queued session's callback
                     return
 
+    def pause_session(self, sid: int) -> None:
+        """Flow control: skip this session's decode until resumed (its slot
+        state freezes; used when the downstream egress buffer is full).
+        Note ``step()`` keeps returning True while paused sessions exist --
+        drivers that spin ``while step()`` must resume or cancel them."""
+        self._set_paused(sid, True)
+
+    def resume_session(self, sid: int) -> None:
+        self._set_paused(sid, False)
+
+    def _set_paused(self, sid: int, value: bool) -> None:
+        with self._lock:
+            for s in self.sessions:
+                if s is not None and s.sid == sid:
+                    s.paused = value
+                    return
+
     @property
     def n_active(self) -> int:
         return sum(1 for s in self.sessions if s is not None)
@@ -358,33 +389,36 @@ class TTSEngine:
             return self._step_locked()
 
     def _step_locked(self) -> bool:
-        if self.n_active == 0:
+        runnable = [s for s in self.sessions if s is not None and not s.paused]
+        if not runnable:
             # drain the pipelined tick so the last sessions complete
             if self._inflight is not None:
                 self._harvest(*self._inflight)
                 self._inflight = None
                 return self.n_active > 0
-            return False
-        # pick chunk size from the schedule position of the *youngest* session
-        # (keeps first-frame latency low when a new session joins; reference
-        # adaptive oschedule, HelloSippyRT.py:67-69)
+            return self.n_active > 0
+        # pick chunk size from the schedule position of the *youngest*
+        # running session (keeps first-frame latency low when a new session
+        # joins; reference adaptive oschedule, HelloSippyRT.py:67-69)
         sched = self.ecfg.chunk_schedule
-        youngest = min(s.chunks_recv for s in self.sessions if s is not None)
+        youngest = min(s.chunks_recv for s in runnable)
         n_frames = sched[min(youngest, len(sched) - 1)]
 
+        paused = np.array([s is not None and s.paused for s in self.sessions])
         self._seed = np.uint32(self._seed + 1)
         self.state, audio, frame_valid = self._step_fns[n_frames](
-            self.params, self.state, self._seed)
+            self.params, self.state, self._seed, jnp.asarray(paused))
         # one-tick software pipeline: dispatch tick N, then harvest tick N-1
         # while the device computes -- the blocking fetch hides under this
         # tick's compute, so steady-state step time ~= device time
         prev = self._inflight
-        self._inflight = ((audio, frame_valid), n_frames, list(self.sessions))
+        self._inflight = ((audio, frame_valid), n_frames, list(self.sessions),
+                          paused)
         if prev is not None:
             self._harvest(*prev)
         return True
 
-    def _harvest(self, bufs, n_frames, snapshot) -> None:
+    def _harvest(self, bufs, n_frames, snapshot, paused_at_dispatch=None) -> None:
         """Deliver one tick's results to the sessions that were live at its
         dispatch (slots may have been re-assigned since)."""
         audio_np, valid_np = jax.device_get(bufs)
@@ -393,6 +427,9 @@ class TTSEngine:
         for slot, sess in enumerate(snapshot):
             if sess is None or self.sessions[slot] is not sess:
                 continue
+            if paused_at_dispatch is not None and paused_at_dispatch[slot] \
+                    and not sess.cancelled:
+                continue  # flow-controlled: no frames, not an EOS
             if sess.cancelled:
                 sess.callback(None)
                 self.sessions[slot] = None

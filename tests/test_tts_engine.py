@@ -148,3 +148,64 @@ def test_slots_exhausted_queues(engine):
     for got in cbs:
         assert got and got[-1] is None  # all five delivered EOS
     assert engine.n_active == 0 and not engine._pending
+
+
+def test_pause_resume_flow_control(engine):
+    """A paused session emits nothing and does not end; after resume it
+    completes with exactly max_frames frames (state-transparent pause)."""
+    rng = np.random.default_rng(7)
+    spk = rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32)
+    chunks, done = [], []
+    sid = engine.start_session(
+        np.asarray([5, 6, 7, 8], np.int32), spk,
+        lambda a: done.append(True) if a is None else chunks.append(a),
+        max_frames=24,
+    )
+    engine.step()  # dispatch tick 1
+    engine.step()  # harvest tick 1 (one-tick pipeline)
+    got_before = sum(len(c) for c in chunks)
+    assert got_before > 0 and not done
+
+    engine.pause_session(sid)
+    engine.step()  # drain the already-dispatched tick
+    drained = sum(len(c) for c in chunks)
+    for _ in range(4):  # paused: no dispatches deliver audio, no EOS
+        engine.step()
+    assert sum(len(c) for c in chunks) == drained
+    assert not done
+    assert engine.n_active == 1
+
+    engine.resume_session(sid)
+    while engine.step():
+        pass
+    assert done == [True]
+    fs = engine.voc_cfg.total_upsample
+    assert sum(len(c) for c in chunks) == 24 * fs
+
+
+def test_pause_does_not_block_other_sessions(engine):
+    rng = np.random.default_rng(8)
+    spk = rng.standard_normal(TINY.speaker_embedding_dim).astype(np.float32)
+    a_chunks, a_done, b_done = [], [], []
+    sid_a = engine.start_session(
+        np.asarray([5, 6], np.int32), spk,
+        lambda x: a_done.append(True) if x is None else a_chunks.append(x),
+        max_frames=64,
+    )
+    engine.pause_session(sid_a)
+    engine.start_session(
+        np.asarray([9, 10, 11], np.int32), spk,
+        lambda x: b_done.append(True) if x is None else None,
+        max_frames=16,
+    )
+    # b runs to completion while a is paused
+    for _ in range(64):
+        engine.step()
+        if b_done:
+            break
+    assert b_done == [True]
+    assert not a_done
+    engine.cancel_session(sid_a)
+    while engine.step():
+        pass
+    assert a_done == [True]
