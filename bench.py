@@ -146,25 +146,43 @@ def main() -> None:
 
     # -- ramp paced calls until the SLA breaks ---------------------------------
     ceiling = T / duty  # service capacity in calls at this duty cycle
-    candidates = sorted({max(1, int(ceiling * f))
-                         for f in (0.6, 0.75, 0.9, 1.0)})
     measure_s = float(os.environ.get("BENCH_SECONDS", "20"))
     base = PacedCallConfig(utterance_frames=utter_frames, duty=duty,
                            sla_ttfb_s=0.2, measure_s=measure_s, seed=42)
     best = None
     levels = []
-    for n in candidates:
+
+    def run_level(n: int):
+        from infernos_tpu.utils.metrics import metrics
+
         r = run_paced(eng, dataclasses.replace(base, n_calls=n))
+        snap = metrics.snapshot()
         levels.append({
             "n_calls": r.n_calls, "ttfb_p50_s": round(r.ttfb_p50, 3),
             "ttfb_p95_s": round(r.ttfb_p95, 3), "underruns": r.underruns,
             "utterances": r.utterances,
-            "streams_equiv": round(r.audio_s / r.wall_s, 1), "ok": r.ok,
+            "streams_equiv": round(r.audio_s / r.wall_s, 1),
+            "tick_p50_s": round(snap.get("tts.tick_s.p50", 0.0), 4),
+            "tick_p95_s": round(snap.get("tts.tick_s.p95", 0.0), 4),
+            "ok": r.ok,
         })
+        return r
+
+    # ramp up from 60% of the probe ceiling; if even that fails (the axon
+    # tunnel's per-dispatch latency fluctuates ~2x between runs), back off
+    # so a slow-tunnel run still reports the level it CAN serve
+    for f in (0.6, 0.75, 0.9, 1.0):
+        r = run_level(max(1, int(ceiling * f)))
         if r.ok:
             best = r
         else:
             break
+    if best is None:
+        for f in (0.45, 0.3, 0.15):
+            r = run_level(max(1, int(ceiling * f)))
+            if r.ok:
+                best = r
+                break
 
     value = best.n_calls if best else 0
     result = {

@@ -101,7 +101,14 @@ class LLMEngine:
     def __init__(self, params: Dict[str, Any], cfg: qwen.QwenConfig,
                  ecfg: LLMEngineConfig = LLMEngineConfig(),
                  detokenize: Optional[Callable[[List[int]], str]] = None,
-                 eos_ids: Optional[Sequence[int]] = None):
+                 eos_ids: Optional[Sequence[int]] = None,
+                 mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``tp`` axis for tensor
+        parallelism (the 14B model over a v5e-4's ICI).  ``params`` must
+        already be placed with ``qwen.param_shardings``; the engine shards
+        its KV cache over the kv-head axis (``qwen.cache_shardings``) so
+        decode attention is fully local per chip, with XLA inserting one
+        all-reduce per attention/MLP block."""
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -109,6 +116,14 @@ class LLMEngine:
         self.eos_ids = set(eos_ids or [cfg.eos_token_id])
         B = ecfg.batch_slots
         self.cache = qwen.init_cache(cfg, B, ecfg.max_total_tokens, dtype=ecfg.dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            cs = qwen.cache_shardings(cfg)
+            self.cache = qwen.QwenCache(
+                jax.device_put(self.cache.k, NamedSharding(mesh, cs.k)),
+                jax.device_put(self.cache.v, NamedSharding(mesh, cs.v)),
+            )
         self.pos = jnp.zeros((B,), jnp.int32)
         self.cur_tok = jnp.zeros((B,), jnp.int32)
         self.done = jnp.ones((B,), bool)

@@ -318,7 +318,7 @@ class TTSEngine:
                 sid = self._next_sid
                 self._next_sid += 1
                 self._pending.append((sid, input_ids, speaker_emb, callback,
-                                      max_frames))
+                                      max_frames, time.monotonic()))
                 return sid
             return self._start_session_locked(input_ids, speaker_emb, callback,
                                               max_frames)
@@ -406,6 +406,7 @@ class TTSEngine:
 
         paused = np.array([s is not None and s.paused for s in self.sessions])
         self._seed = np.uint32(self._seed + 1)
+        t_tick = time.monotonic()
         self.state, audio, frame_valid = self._step_fns[n_frames](
             self.params, self.state, self._seed, jnp.asarray(paused))
         # one-tick software pipeline: dispatch tick N, then harvest tick N-1
@@ -416,6 +417,7 @@ class TTSEngine:
                           paused)
         if prev is not None:
             self._harvest(*prev)
+        metrics.observe("tts.tick_s", time.monotonic() - t_tick)
         return True
 
     def _harvest(self, bufs, n_frames, snapshot, paused_at_dispatch=None) -> None:
@@ -455,6 +457,7 @@ class TTSEngine:
                 self.sessions[slot] = None
                 self.state = self._leave_fn(self.state, jnp.int32(slot))
         while self._pending and self.free_slots():
-            sid, ids, spk, cb, mf = self._pending.popleft()
+            sid, ids, spk, cb, mf, t_enq = self._pending.popleft()
+            metrics.observe("tts.queue_wait", time.monotonic() - t_enq)
             self._start_session_locked(ids, spk, cb, mf, sid=sid)
         metrics.set("tts.active_slots", self.n_active)
