@@ -47,9 +47,28 @@ class RTPEndpoint:
         self.stream_in = RTPInStream(ring, codec,
                                      get_direct_soundout=get_direct_soundout)
         self.udp = allocator.bind_server(bind_ip, self._rtp_received)
-        self.writer = RTPOutputWorker(params.codec(), self._send_pkt,
-                                      ptime_ms=params.out_ptime)
+        self._writer_dest = params.rtp_target
+        self.writer = self._make_writer(params)
         self.writer.start()
+
+    def _make_writer(self, params: RTPParams):
+        """Native single-loop pacer when built (SURVEY.md section 7 item 5);
+        the Python thread-per-leg worker is the fallback/oracle.  Set
+        INFERNOS_NATIVE_PACER=0 to force the Python path."""
+        import os
+
+        from . import cpacer
+
+        if cpacer.available() and os.environ.get(
+                "INFERNOS_NATIVE_PACER", "1") not in ("", "0"):
+            leg = cpacer.shared_loop().new_leg(
+                params.codec(), self.udp.sock.fileno(),
+                ptime_ms=params.out_ptime)
+            if params.rtp_target is not None:
+                leg.set_dest(params.rtp_target)
+            return leg
+        return RTPOutputWorker(params.codec(), self._send_pkt,
+                               ptime_ms=params.out_ptime)
 
     # -- rx ------------------------------------------------------------------
     def _rtp_received(self, data: bytes, address, rtime: float) -> None:
@@ -70,6 +89,13 @@ class RTPEndpoint:
             log.debug("first frame out on %s (%d samples)", self.id,
                       len(chunk.audio))
             self.firstframe = False
+        # the native leg sends from C++ (no per-packet Python): refresh its
+        # destination per chunk in case rtp_target changed since last
+        if (self.params.rtp_target is not None
+                and hasattr(self.writer, "set_dest")
+                and self._writer_dest != self.params.rtp_target):
+            self.writer.set_dest(self.params.rtp_target)
+            self._writer_dest = self.params.rtp_target
         self.writer.soundout(chunk)
 
     # -- control -------------------------------------------------------------
@@ -82,9 +108,11 @@ class RTPEndpoint:
         self.params = params
         if (params.out_ptime != old.out_ptime or params.codec is not old.codec):
             self.writer.end()
-            self.writer = RTPOutputWorker(params.codec(), self._send_pkt,
-                                          ptime_ms=params.out_ptime)
+            self.writer = self._make_writer(params)
             self.writer.start()
+        elif params.rtp_target is not None and hasattr(self.writer, "set_dest"):
+            self.writer.set_dest(params.rtp_target)  # native leg retarget
+            self._writer_dest = params.rtp_target
         self.stream_in.stream_update()
 
     @property

@@ -73,6 +73,25 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.jbuf_udp_in.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int, u8p,
                                 ctypes.c_int]
     lib.jbuf_udp_in.restype = ctypes.c_int
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.pacer_new.restype = ctypes.c_void_p
+    lib.pacer_new.argtypes = [ctypes.c_uint32]
+    lib.pacer_free.argtypes = [ctypes.c_void_p]
+    lib.pacer_add_leg.restype = ctypes.c_int
+    lib.pacer_add_leg.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint8, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint16, ctypes.c_uint32]
+    lib.pacer_set_dest.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_char_p, ctypes.c_uint16]
+    lib.pacer_remove_leg.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pacer_write.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p,
+                                ctypes.c_int]
+    lib.pacer_leg_sent_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pacer_leg_sent_bytes.restype = ctypes.c_uint64
+    lib.pacer_leg_buffered.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pacer_leg_buffered.restype = ctypes.c_uint64
+    lib.pacer_leg_stats.argtypes = [ctypes.c_void_p, ctypes.c_int, u64p]
     _lib = lib
     return lib
 

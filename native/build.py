@@ -20,7 +20,7 @@ def build(force: bool = False) -> str:
     if (not force and os.path.exists(OUT)
             and os.path.getmtime(OUT) >= os.path.getmtime(SRC)):
         return OUT
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
            "-o", OUT, SRC]
     subprocess.run(cmd, check=True, capture_output=True)
     return OUT

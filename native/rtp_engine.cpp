@@ -15,6 +15,22 @@
 #include <map>
 #include <vector>
 
+// pacer loop
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/epoll.h>
+#include <sys/eventfd.h>
+#include <sys/socket.h>
+#include <sys/timerfd.h>
+#include <time.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <deque>
+#include <mutex>
+#include <thread>
+#include <unordered_map>
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -534,6 +550,271 @@ int jbuf_udp_in(void *state, const uint8_t *data, int len, uint8_t *out,
     j->next_eseq = first_avail;
   }
   return w;
+}
+
+
+// ---------------------------------------------------------------------------
+// Paced egress loop: ONE timerfd/epoll thread paces ALL legs.
+//
+// Replaces the reference's thread-per-leg sleep pacing
+// (RTP/RTPOutputWorker.py:126-149) and the elperiodic C library
+// (HelloSippyTTSRT/HelloSippyRTPipeTest.py:31).  Python writes encoded
+// payload bytes per leg; this loop emits one RTP packet per ptime on a
+// monotonic absolute-deadline schedule (no drift), skips the timestamp on
+// idle ticks (talkspurt marker on resume, same as rtp_skip semantics), and
+// records the deviation of each send from its deadline as a jitter
+// histogram for SLA verification.
+// ---------------------------------------------------------------------------
+
+struct PacerLeg {
+  int fd;  // borrowed socket fd (not closed on removal)
+  sockaddr_in dest;
+  bool have_dest;
+  uint64_t ptime_ns;
+  uint32_t frame_bytes;      // encoded payload bytes per packet
+  uint32_t samples_per_pkt;  // RTP timestamp increment per packet
+  uint8_t pt;
+  RtpPacketizer pkt;
+  std::deque<uint8_t> buf;
+  uint64_t next_deadline;  // ns monotonic; 0 = cadence not running
+  uint64_t sent_bytes, sent_pkts, skipped;
+  uint32_t idle_ticks;
+  // |send - deadline| histogram
+  uint64_t jit_le_500us, jit_le_1ms, jit_le_2ms, jit_le_5ms, jit_gt_5ms;
+  uint64_t jit_max_ns;
+};
+
+struct Pacer {
+  int epfd, tfd, evfd;
+  std::thread thr;
+  std::mutex mu;
+  std::unordered_map<int, PacerLeg *> legs;
+  int next_id;
+  std::atomic<bool> stopping;
+  uint32_t idle_suspend_ticks;  // suspend cadence after this many idle skips
+};
+
+static inline uint64_t now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (uint64_t)ts.tv_sec * 1000000000ull + ts.tv_nsec;
+}
+
+static void pacer_wake(Pacer *p) {
+  uint64_t one = 1;
+  ssize_t r = write(p->evfd, &one, sizeof(one));
+  (void)r;
+}
+
+static void pacer_send_due(Pacer *p, uint64_t now) {
+  for (auto &kv : p->legs) {
+    PacerLeg *l = kv.second;
+    if (l->next_deadline == 0) continue;
+    while (l->next_deadline <= now) {
+      if (l->buf.size() >= l->frame_bytes) {
+        uint8_t payload[2048];
+        uint32_t n = l->frame_bytes;
+        for (uint32_t i = 0; i < n; i++) {
+          payload[i] = l->buf.front();
+          l->buf.pop_front();
+        }
+        uint8_t out[2100];
+        int len = rtp_next_pkt(&l->pkt, l->samples_per_pkt, l->pt, payload,
+                               (int)n, out);
+        if (l->have_dest && l->fd >= 0) {
+          sendto(l->fd, out, len, MSG_DONTWAIT,
+                 (const sockaddr *)&l->dest, sizeof(l->dest));
+        }
+        uint64_t dev = now - l->next_deadline;
+        if (dev > l->jit_max_ns) l->jit_max_ns = dev;
+        if (dev <= 500000ull) l->jit_le_500us++;
+        else if (dev <= 1000000ull) l->jit_le_1ms++;
+        else if (dev <= 2000000ull) l->jit_le_2ms++;
+        else if (dev <= 5000000ull) l->jit_le_5ms++;
+        else l->jit_gt_5ms++;
+        l->sent_pkts++;
+        l->sent_bytes += n;
+        l->idle_ticks = 0;
+      } else {
+        rtp_skip(&l->pkt, 1);
+        l->skipped++;
+        if (++l->idle_ticks >= p->idle_suspend_ticks) {
+          l->next_deadline = 0;  // suspend cadence; next write restarts it
+          l->idle_ticks = 0;
+          break;
+        }
+      }
+      if (l->next_deadline) l->next_deadline += l->ptime_ns;
+    }
+  }
+}
+
+static void pacer_loop(Pacer *p) {
+  struct epoll_event evs[4];
+  while (!p->stopping.load()) {
+    uint64_t next = 0;
+    {
+      std::lock_guard<std::mutex> g(p->mu);
+      uint64_t now = now_ns();
+      pacer_send_due(p, now);
+      for (auto &kv : p->legs) {
+        PacerLeg *l = kv.second;
+        if (l->next_deadline && (next == 0 || l->next_deadline < next))
+          next = l->next_deadline;
+      }
+    }
+    struct itimerspec its;
+    memset(&its, 0, sizeof(its));
+    if (next) {
+      its.it_value.tv_sec = next / 1000000000ull;
+      its.it_value.tv_nsec = next % 1000000000ull;
+      timerfd_settime(p->tfd, TFD_TIMER_ABSTIME, &its, nullptr);
+    } else {
+      timerfd_settime(p->tfd, 0, &its, nullptr);  // disarm
+    }
+    int n = epoll_wait(p->epfd, evs, 4, next ? 1000 : -1);
+    for (int i = 0; i < n; i++) {
+      uint64_t buf;
+      ssize_t r = read(evs[i].data.fd, &buf, sizeof(buf));
+      (void)r;
+    }
+  }
+}
+
+void *pacer_new(uint32_t idle_suspend_ticks) {
+  Pacer *p = new Pacer();
+  p->next_id = 1;
+  p->stopping = false;
+  p->idle_suspend_ticks = idle_suspend_ticks ? idle_suspend_ticks : 250;
+  p->epfd = epoll_create1(0);
+  p->tfd = timerfd_create(CLOCK_MONOTONIC, TFD_NONBLOCK);
+  p->evfd = eventfd(0, EFD_NONBLOCK);
+  struct epoll_event ev;
+  memset(&ev, 0, sizeof(ev));
+  ev.events = EPOLLIN;
+  ev.data.fd = p->tfd;
+  epoll_ctl(p->epfd, EPOLL_CTL_ADD, p->tfd, &ev);
+  ev.data.fd = p->evfd;
+  epoll_ctl(p->epfd, EPOLL_CTL_ADD, p->evfd, &ev);
+  p->thr = std::thread(pacer_loop, p);
+  return p;
+}
+
+void pacer_free(void *vp) {
+  Pacer *p = (Pacer *)vp;
+  p->stopping = true;
+  pacer_wake(p);
+  p->thr.join();
+  for (auto &kv : p->legs) delete kv.second;
+  close(p->epfd);
+  close(p->tfd);
+  close(p->evfd);
+  delete p;
+}
+
+int pacer_add_leg(void *vp, int fd, uint32_t clock_rate, uint32_t ptime_ms,
+                  uint8_t pt, uint32_t frame_bytes, uint32_t samples_per_pkt,
+                  uint32_t ssrc, uint16_t seq0, uint32_t ts0) {
+  Pacer *p = (Pacer *)vp;
+  PacerLeg *l = new PacerLeg();
+  l->fd = fd;
+  l->have_dest = false;
+  l->ptime_ns = (uint64_t)ptime_ms * 1000000ull;
+  l->frame_bytes = frame_bytes;
+  l->samples_per_pkt = samples_per_pkt;
+  l->pt = pt;
+  l->pkt.clock_rate = clock_rate;
+  l->pkt.ts_per_pkt = samples_per_pkt;
+  l->pkt.ssrc = ssrc;
+  l->pkt.seq = seq0;
+  l->pkt.ts = ts0;
+  l->pkt.marker_next = true;
+  l->next_deadline = 0;
+  l->sent_bytes = l->sent_pkts = l->skipped = 0;
+  l->idle_ticks = 0;
+  l->jit_le_500us = l->jit_le_1ms = l->jit_le_2ms = l->jit_le_5ms =
+      l->jit_gt_5ms = 0;
+  l->jit_max_ns = 0;
+  std::lock_guard<std::mutex> g(p->mu);
+  int id = p->next_id++;
+  p->legs[id] = l;
+  return id;
+}
+
+void pacer_set_dest(void *vp, int leg, const char *ip, uint16_t port) {
+  Pacer *p = (Pacer *)vp;
+  std::lock_guard<std::mutex> g(p->mu);
+  auto it = p->legs.find(leg);
+  if (it == p->legs.end()) return;
+  memset(&it->second->dest, 0, sizeof(it->second->dest));
+  it->second->dest.sin_family = AF_INET;
+  it->second->dest.sin_port = htons(port);
+  inet_pton(AF_INET, ip, &it->second->dest.sin_addr);
+  it->second->have_dest = true;
+}
+
+void pacer_remove_leg(void *vp, int leg) {
+  Pacer *p = (Pacer *)vp;
+  std::lock_guard<std::mutex> g(p->mu);
+  auto it = p->legs.find(leg);
+  if (it == p->legs.end()) return;
+  delete it->second;
+  p->legs.erase(it);
+}
+
+void pacer_write(void *vp, int leg, const uint8_t *data, int len) {
+  Pacer *p = (Pacer *)vp;
+  bool wake = false;
+  {
+    std::lock_guard<std::mutex> g(p->mu);
+    auto it = p->legs.find(leg);
+    if (it == p->legs.end()) return;
+    PacerLeg *l = it->second;
+    l->buf.insert(l->buf.end(), data, data + len);
+    if (l->next_deadline == 0) {
+      l->next_deadline = now_ns();
+      wake = true;
+    } else {
+      wake = true;  // re-arm in case the loop sleeps past this leg
+    }
+  }
+  if (wake) pacer_wake(p);
+}
+
+uint64_t pacer_leg_sent_bytes(void *vp, int leg) {
+  Pacer *p = (Pacer *)vp;
+  std::lock_guard<std::mutex> g(p->mu);
+  auto it = p->legs.find(leg);
+  return it == p->legs.end() ? 0 : it->second->sent_bytes;
+}
+
+uint64_t pacer_leg_buffered(void *vp, int leg) {
+  Pacer *p = (Pacer *)vp;
+  std::lock_guard<std::mutex> g(p->mu);
+  auto it = p->legs.find(leg);
+  return it == p->legs.end() ? 0 : it->second->buf.size();
+}
+
+// out[9]: sent_pkts, skipped, jit<=0.5ms, <=1ms, <=2ms, <=5ms, >5ms,
+//         jit_max_ns, sent_bytes
+void pacer_leg_stats(void *vp, int leg, uint64_t *out) {
+  Pacer *p = (Pacer *)vp;
+  std::lock_guard<std::mutex> g(p->mu);
+  auto it = p->legs.find(leg);
+  if (it == p->legs.end()) {
+    memset(out, 0, 9 * sizeof(uint64_t));
+    return;
+  }
+  PacerLeg *l = it->second;
+  out[0] = l->sent_pkts;
+  out[1] = l->skipped;
+  out[2] = l->jit_le_500us;
+  out[3] = l->jit_le_1ms;
+  out[4] = l->jit_le_2ms;
+  out[5] = l->jit_le_5ms;
+  out[6] = l->jit_gt_5ms;
+  out[7] = l->jit_max_ns;
+  out[8] = l->sent_bytes;
 }
 
 }  // extern "C"

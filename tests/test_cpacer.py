@@ -1,0 +1,169 @@
+"""Native C++ pacer loop tests: jitter SLA, oracle parity, marker timing."""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from infernos_tpu.audio.chunk import AudioChunk
+from infernos_tpu.audio.codecs import G711Codec
+from infernos_tpu.audio.markers import ASMarkerSentDoneCB
+from infernos_tpu.media import cpacer
+from infernos_tpu.media.rtp import RTPPacket
+
+pytestmark = pytest.mark.skipif(not cpacer.available(),
+                                reason="native media engine unavailable")
+
+
+@pytest.fixture(scope="module")
+def loop():
+    lp = cpacer.NativePacerLoop()
+    yield lp
+    lp.close()
+
+
+def _tone(seconds, sr=8000, f=300.0):
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def test_single_leg_packets_and_timing(loop):
+    rx = []
+    rsock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rsock.bind(("127.0.0.1", 0))
+    rsock.settimeout(0.25)
+    done = threading.Event()
+
+    def drain():
+        while not done.is_set():
+            try:
+                data, _ = rsock.recvfrom(4096)
+                rx.append((time.monotonic(), data))
+            except socket.timeout:
+                pass
+
+    thr = threading.Thread(target=drain, daemon=True)
+    thr.start()
+    ssock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    leg = loop.new_leg(G711Codec(), ssock.fileno(), ptime_ms=20)
+    leg.set_dest(rsock.getsockname())
+
+    leg.soundout(AudioChunk(_tone(1.0), 8000))
+    fired = threading.Event()
+    leg.soundout(ASMarkerSentDoneCB(lambda: fired.set()))
+    t0 = time.monotonic()
+    assert fired.wait(3.0), "marker did not fire"
+    marker_t = time.monotonic() - t0
+    time.sleep(0.1)
+    done.set()
+    thr.join(timeout=1.0)
+
+    # ~50 packets of 160 bytes, paced over ~1 s (not a burst)
+    pkts = [RTPPacket.parse(d) for _, d in rx]
+    assert 48 <= len(pkts) <= 52, len(pkts)
+    assert all(len(p.payload) == 160 for p in pkts)
+    seqs = [p.seq for p in pkts]
+    assert seqs == sorted(seqs)
+    ts_deltas = {(b.ts - a.ts) & 0xFFFFFFFF for a, b in zip(pkts, pkts[1:])}
+    assert ts_deltas == {160}
+    span = rx[-1][0] - rx[0][0]
+    assert 0.85 < span < 1.3, span
+    # marker fired once the full second had been transmitted
+    assert 0.85 < marker_t < 1.5, marker_t
+    stats = leg.stats()
+    assert stats["sent_pkts"] == len(pkts)
+    leg.end()
+    ssock.close()
+    rsock.close()
+
+
+def test_500_legs_one_thread_jitter_sla(loop):
+    """VERDICT round-1 item 6 'Done' criterion: 500 simulated legs paced
+    from one thread with p99 deviation-from-schedule < 2 ms."""
+    n_legs = 500
+    rsock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rsock.bind(("127.0.0.1", 0))
+    rsock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+    ssock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    codec = G711Codec()
+    payload = codec.encode(_tone(2.0))  # 2 s = 100 packets per leg
+
+    legs = []
+    for i in range(n_legs):
+        leg = loop.new_leg(codec, ssock.fileno(), ptime_ms=20)
+        leg.set_dest(rsock.getsockname())
+        legs.append(leg)
+    # hand every leg its audio as pre-encoded bytes (skip the muxer: this
+    # test isolates the pacing loop); stagger starts as real call arrivals
+    # are staggered -- a leg's cadence phase is set by its first write
+    for i, leg in enumerate(legs):
+        leg._write_bytes(payload)
+        if i % 10 == 9:
+            time.sleep(0.02)
+    time.sleep(2.6)
+
+    sent = late = total = 0
+    max_jit = 0
+    for leg in legs:
+        s = leg.stats()
+        sent += s["sent_pkts"]
+        ok = s["jit_le_500us"] + s["jit_le_1ms"] + s["jit_le_2ms"]
+        total += s["sent_pkts"]
+        late += s["jit_le_5ms"] + s["jit_gt_5ms"]
+        max_jit = max(max_jit, s["jit_max_ns"])
+        leg.end()
+    ssock.close()
+    rsock.close()
+    assert sent >= n_legs * 95  # every leg progressed
+    frac_le_2ms = (total - late) / total
+    assert frac_le_2ms >= 0.99, (frac_le_2ms, late, total, max_jit)
+
+
+def test_payload_parity_with_python_oracle(loop):
+    """Same audio through the native leg and the Python pacer must produce
+    byte-identical payload streams (headers differ only by ssrc/seq0/ts0)."""
+    from infernos_tpu.media.pacer import RTPOutputWorker
+
+    audio = _tone(0.5, f=440.0)
+    codec = G711Codec()
+
+    # Python oracle: collect packets via the send callback
+    py_pkts = []
+    w = RTPOutputWorker(codec, py_pkts.append, ptime_ms=20)
+    w.start()
+    w.soundout(AudioChunk(audio.copy(), 8000))
+    time.sleep(1.0)
+    w.end()
+
+    rx = []
+    rsock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rsock.bind(("127.0.0.1", 0))
+    rsock.settimeout(0.25)
+    stop = threading.Event()
+
+    def drain():
+        while not stop.is_set():
+            try:
+                data, _ = rsock.recvfrom(4096)
+                rx.append(data)
+            except socket.timeout:
+                pass
+
+    thr = threading.Thread(target=drain, daemon=True)
+    thr.start()
+    ssock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    leg = loop.new_leg(codec, ssock.fileno(), ptime_ms=20)
+    leg.set_dest(rsock.getsockname())
+    leg.soundout(AudioChunk(audio.copy(), 8000))
+    time.sleep(1.0)
+    stop.set()
+    thr.join(timeout=1.0)
+    leg.end()
+    ssock.close()
+    rsock.close()
+
+    py_payloads = [RTPPacket.parse(p).payload for p in py_pkts]
+    c_payloads = [RTPPacket.parse(p).payload for p in rx]
+    assert c_payloads == py_payloads
