@@ -71,6 +71,10 @@ def build_engine(on_tpu: bool, B: int, chunk_schedule, max_steps: int):
         min_steps=8,
         stop_threshold=2.0,  # random weights: run to max_frames deterministically
         dtype=dtype,
+        # deliver each tick's audio the moment the device finishes it
+        # (~1 tick less TTFB than the sync one-tick pipeline)
+        async_harvest=True,
+        max_inflight_ticks=int(os.environ.get("BENCH_INFLIGHT", "1")),
     )
     return TTSEngine(params, cfg, voc_params, voc, ecfg), cfg
 
@@ -114,7 +118,7 @@ def main() -> None:
     on_tpu = dev.platform != "cpu"
 
     B = int(os.environ.get("BENCH_SLOTS", "16"))
-    utter_frames = 128  # ~2.05 s audio per utterance
+    utter_frames = int(os.environ.get("BENCH_UTTER", "96"))  # ~1.5 s audio
     duty = 0.5  # LT calls: TTS speaks <= half the time
     # Fixed 32-frame ticks: under continuous utterance churn an adaptive
     # (8,...,32) schedule degenerates to all-8-frame ticks for every slot,

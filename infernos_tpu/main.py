@@ -25,8 +25,14 @@ log = get_logger("main")
 
 
 def build_cluster(iconf: InfernConfig, tiny: bool = False,
-                  bind_ip: Optional[str] = None) -> Dict[str, ActorHandle]:
-    """Spawn and wire the full actor graph from a validated config."""
+                  bind_ip: Optional[str] = None,
+                  stt_actr: Optional[ActorHandle] = None) -> Dict[str, ActorHandle]:
+    """Spawn and wire the full actor graph from a validated config.
+
+    ``stt_actr``: pre-existing STT actor handle -- typically a
+    ``cluster.remote.RemoteActorHandle`` placing the STT leg on another
+    host (the reference's Ray cross-host placement, SURVEY.md section 2.9).
+    """
     from .apps.ai_attendant import AIAActor
     from .apps.live_translator import LTActor
     from .sip.agent import SIPAgent
@@ -59,7 +65,8 @@ def build_cluster(iconf: InfernConfig, tiny: bool = False,
     # loads models but serves no calls is worse than a crash)
     sip_actr.ask_sync("ready_check", timeout=30)
     for key, h in app_actors.items():
-        h.ask_sync("start", h, sip_actr, rtp_actr, timeout=900)
+        h.ask_sync("start", h, sip_actr, rtp_actr, stt_actr=stt_actr,
+                   timeout=900)
     return handles
 
 

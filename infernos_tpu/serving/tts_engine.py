@@ -54,6 +54,12 @@ class TTSEngineConfig:
     stop_threshold: float = 0.5
     sample_rate: int = 16000
     dtype: Any = jnp.float32
+    # async harvest: a dedicated thread fetches + delivers each tick's audio
+    # the moment the device finishes it, instead of at the NEXT step's
+    # dispatch (the sync one-tick pipeline) -- cuts TTFB by ~one tick while
+    # keeping up to ``max_inflight_ticks`` dispatches queued on the device
+    async_harvest: bool = False
+    max_inflight_ticks: int = 2
 
 
 class TTSState(NamedTuple):
@@ -120,9 +126,21 @@ class TTSEngine:
         self._seed = np.uint32(rng_seed)
         self._next_sid = 0
         self._inflight = None  # (audio, valid, stopped) device refs + n_frames
+        self._last_dispatch_t: Optional[float] = None
         from collections import deque
 
         self._pending = deque()  # sessions waiting for a free slot
+        self._async = ecfg.async_harvest
+        if self._async:
+            import queue as _q
+
+            self._hq: "_q.Queue" = _q.Queue()
+            self._sem = threading.Semaphore(ecfg.max_inflight_ticks)
+            self._inflight_n = 0
+            self._idle_cv = threading.Condition()
+            self._hthread = threading.Thread(
+                target=self._harvest_loop, daemon=True, name="tts-harvest")
+            self._hthread.start()
 
         # -- compiled programs ------------------------------------------------
         # params flow as jit arguments (closure-captured arrays are baked
@@ -290,16 +308,21 @@ class TTSEngine:
 
     def warmup(self) -> None:
         """Compile join/decode/vocode for every chunk size up front."""
-        with self._lock:
-            done = []
-            self._start_session_locked(
-                np.zeros(4, np.int32),
-                np.zeros(self.cfg.speaker_embedding_dim, np.float32),
-                lambda a: done.append(a is None),
-                max_frames=sum(self.ecfg.chunk_schedule),
-            )
-            while self._step_locked():
-                pass
+        done = []
+        self.start_session(
+            np.zeros(4, np.int32),
+            np.zeros(self.cfg.speaker_embedding_dim, np.float32),
+            lambda a: done.append(a is None),
+            max_frames=sum(self.ecfg.chunk_schedule),
+        )
+        while self.step():
+            pass
+
+    def close(self) -> None:
+        """Stop the async harvest thread (no-op in sync mode)."""
+        if self._async:
+            self._hq.put(None)
+            self._hthread.join(timeout=2.0)
 
     def free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.sessions) if s is None]
@@ -385,18 +408,73 @@ class TTSEngine:
 
         Returns True if any session is still active.
         """
-        with self._lock:
-            return self._step_locked()
+        if not self._async:
+            with self._lock:
+                return self._step_locked()
+        # async mode: bounded dispatch pipeline + harvest thread.  Acquire
+        # the inflight budget OUTSIDE the lock (the harvest thread needs the
+        # lock to release it).
+        acquired = self._sem.acquire(timeout=1.0)
+        item = None
+        try:
+            with self._lock:
+                item = self._dispatch_locked()
+        finally:
+            if item is None and acquired:
+                self._sem.release()
+        if item is None:
+            # nothing runnable: wait for in-flight ticks to drain so EOS
+            # callbacks land before we report idle
+            with self._idle_cv:
+                self._idle_cv.wait_for(lambda: self._inflight_n == 0,
+                                       timeout=1.0)
+            with self._lock:
+                return self.n_active > 0
+        with self._idle_cv:
+            self._inflight_n += 1
+        self._hq.put(item)
+        return True
+
+    def _harvest_loop(self) -> None:
+        while True:
+            item = self._hq.get()
+            if item is None:
+                return
+            bufs, n_frames, snapshot, paused = item
+            try:
+                bufs_np = jax.device_get(bufs)  # blocking fetch, lock-free
+                with self._lock:
+                    self._harvest(bufs_np, n_frames, snapshot, paused)
+            except Exception:
+                log.exception("tts harvest failed")
+            self._sem.release()
+            with self._idle_cv:
+                self._inflight_n -= 1
+                self._idle_cv.notify_all()
 
     def _step_locked(self) -> bool:
-        runnable = [s for s in self.sessions if s is not None and not s.paused]
-        if not runnable:
+        item = self._dispatch_locked()
+        if item is None:
             # drain the pipelined tick so the last sessions complete
             if self._inflight is not None:
                 self._harvest(*self._inflight)
                 self._inflight = None
-                return self.n_active > 0
             return self.n_active > 0
+        # one-tick software pipeline: dispatch tick N, then harvest tick N-1
+        # while the device computes -- the blocking fetch hides under this
+        # tick's compute, so steady-state step time ~= device time
+        prev = self._inflight
+        self._inflight = item
+        if prev is not None:
+            self._harvest(*prev)
+        return True
+
+    def _dispatch_locked(self):
+        """Dispatch one tick; returns (bufs, n_frames, snapshot, paused) or
+        None when no session is runnable."""
+        runnable = [s for s in self.sessions if s is not None and not s.paused]
+        if not runnable:
+            return None
         # pick chunk size from the schedule position of the *youngest*
         # running session (keeps first-frame latency low when a new session
         # joins; reference adaptive oschedule, HelloSippyRT.py:67-69)
@@ -406,19 +484,15 @@ class TTSEngine:
 
         paused = np.array([s is not None and s.paused for s in self.sessions])
         self._seed = np.uint32(self._seed + 1)
-        t_tick = time.monotonic()
         self.state, audio, frame_valid = self._step_fns[n_frames](
             self.params, self.state, self._seed, jnp.asarray(paused))
-        # one-tick software pipeline: dispatch tick N, then harvest tick N-1
-        # while the device computes -- the blocking fetch hides under this
-        # tick's compute, so steady-state step time ~= device time
-        prev = self._inflight
-        self._inflight = ((audio, frame_valid), n_frames, list(self.sessions),
-                          paused)
-        if prev is not None:
-            self._harvest(*prev)
-        metrics.observe("tts.tick_s", time.monotonic() - t_tick)
-        return True
+        # tick cadence: inter-dispatch interval ~= device step time when the
+        # pipeline is saturated (dispatch itself returns immediately)
+        now = time.monotonic()
+        if self._last_dispatch_t is not None:
+            metrics.observe("tts.tick_s", now - self._last_dispatch_t)
+        self._last_dispatch_t = now
+        return ((audio, frame_valid), n_frames, list(self.sessions), paused)
 
     def _harvest(self, bufs, n_frames, snapshot, paused_at_dispatch=None) -> None:
         """Deliver one tick's results to the sessions that were live at its

@@ -83,3 +83,39 @@ def test_find_max_calls_stops_on_failure(engine):
     assert best is not None
     assert best.n_calls in (2, 4)
     assert len(results) <= 2
+
+
+@pytest.fixture(scope="module")
+def async_engine():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    eng = TTSEngine(
+        st5.init_params(k1, TINY), TINY, hfg.init_params(k2, VOC), VOC,
+        TTSEngineConfig(batch_slots=4, max_text_tokens=16, max_steps=64,
+                        pre_frames=4, chunk_schedule=(8, 16), min_steps=2,
+                        stop_threshold=2.0, async_harvest=True),
+    )
+    eng.warmup()
+    yield eng
+    eng.close()
+
+
+def test_async_harvest_paced_calls(async_engine):
+    """Async-harvest mode serves paced calls and matches sync totals."""
+    cfg = PacedCallConfig(n_calls=6, utterance_frames=16, duty=0.9,
+                          measure_s=4.0, sla_ttfb_s=10.0)
+    res = run_paced(async_engine, cfg)
+    assert res.utterances >= 6
+    assert res.ok, (res.ttfb_p95, res.underruns)
+
+
+def test_async_harvest_session_completes_exactly(async_engine):
+    got, done = [], []
+    async_engine.start_session(
+        np.asarray([3, 4, 5], np.int32), np.zeros(16, np.float32),
+        lambda a: done.append(True) if a is None else got.append(len(a)),
+        max_frames=24)
+    while async_engine.step():
+        pass
+    assert done == [True]
+    fs = async_engine.voc_cfg.total_upsample
+    assert sum(got) == 24 * fs
