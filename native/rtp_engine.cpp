@@ -22,6 +22,10 @@
 #include <sys/eventfd.h>
 #include <sys/socket.h>
 #include <sys/timerfd.h>
+#include <pthread.h>
+#include <sched.h>
+#include <sys/resource.h>
+#include <sys/syscall.h>
 #include <time.h>
 #include <unistd.h>
 
@@ -650,6 +654,17 @@ static void pacer_send_due(Pacer *p, uint64_t now) {
 }
 
 static void pacer_loop(Pacer *p) {
+  // Hard-real-time egress: try to elevate this thread above ordinary
+  // compute threads (JAX compiles, engine drivers) so 20 ms deadlines hold
+  // under host load.  SCHED_FIFO needs CAP_SYS_NICE; fall back to a negative
+  // nice value, and to nothing when unprivileged -- pacing still works, the
+  // jitter SLA just becomes load-dependent.
+  struct sched_param sp;
+  memset(&sp, 0, sizeof(sp));
+  sp.sched_priority = 10;
+  if (pthread_setschedparam(pthread_self(), SCHED_FIFO, &sp) != 0) {
+    setpriority(PRIO_PROCESS, (id_t)syscall(SYS_gettid), -15);
+  }
   struct epoll_event evs[4];
   while (!p->stopping.load()) {
     uint64_t next = 0;
