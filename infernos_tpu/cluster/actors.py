@@ -69,19 +69,27 @@ class ActorHandle:
         else:
             self._started.wait()
         while True:
-            item = self._q.get()
-            if item is None:
-                break
-            fut, method, args, kw = item
+            # the dispatch frame itself is supervised: a bug outside the
+            # per-message try (or an exception raised by a broken __getattr__)
+            # logs and keeps the mailbox alive instead of silently killing
+            # the actor thread and stranding every future caller
             try:
-                res = getattr(self._actor, method)(*args, **kw)
-                if fut is not None:
-                    fut.set_result(res)
-            except Exception as e:
-                if fut is not None:
-                    fut.set_exception(e)
-                else:
-                    log.exception("actor %s.%s failed", self.name, method)
+                item = self._q.get()
+                if item is None:
+                    break
+                fut, method, args, kw = item
+                try:
+                    res = getattr(self._actor, method)(*args, **kw)
+                    if fut is not None:
+                        fut.set_result(res)
+                except Exception as e:
+                    if fut is not None:
+                        fut.set_exception(e)
+                    else:
+                        log.exception("actor %s.%s failed", self.name, method)
+            except Exception:
+                log.exception("actor %s mailbox dispatch error; continuing",
+                              self.name)
         # the LAST exiting thread runs on_stop (exactly once)
         with self._exit_lock:
             self._exited += 1

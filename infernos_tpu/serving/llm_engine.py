@@ -194,6 +194,30 @@ class LLMEngine:
         (self.cache, self.pos, self.cur_tok, _) = self._step_fn(
             self.params, self.cache, self.pos, self.cur_tok, self.done)
 
+    def abort_all(self, reason: str = "engine failure") -> None:
+        """Supervision hook: flush a final (possibly partial) result to every
+        live and queued request and reset slot state, so callers waiting on
+        a final sentence are never stranded."""
+        with self._lock:
+            victims = [s for s in self.slots if s is not None]
+            pend = list(self._pending)
+            self._pending.clear()
+            self.slots = [None] * self.ecfg.batch_slots
+            self._inflight = None
+            self.done = jnp.ones_like(self.done)
+        log.warning("llm engine abort (%s): flushing %d live + %d queued",
+                    reason, len(victims), len(pend))
+        for s in victims:
+            try:
+                s.streamer.finish()  # emits whatever was generated, final=True
+            except Exception:
+                log.exception("llm abort flush failed")
+        for req in pend:
+            try:
+                req.sentence_cb("", True)
+            except Exception:
+                log.exception("llm abort flush failed (queued)")
+
     def submit(self, req: LLMRequest) -> int:
         """Prefill + join (queued if slots are full; -1 when queued)."""
         with self._lock:

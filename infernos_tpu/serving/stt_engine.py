@@ -328,6 +328,35 @@ class STTEngine:
                 while self._step_locked():
                     pass
 
+    def abort_all(self, reason: str = "engine failure") -> None:
+        """Supervision hook: complete every live and queued request with an
+        empty unaudible result (ns_prob=1.0, no tokens) and reset device
+        state, so session busy/pending chains unblock and the next request
+        starts clean."""
+        with self._lock:
+            victims = [(s.req, s.t_start) for s in self.slots if s is not None]
+            victims += [(r, time.monotonic()) for r in self._pending]
+            self._pending.clear()
+            self.slots = [None] * self.ecfg.batch_slots
+            self._inflight = None
+            self.cache = wsp.init_cache(self.cfg, self.ecfg.batch_slots,
+                                        self.ecfg.max_total_tokens,
+                                        self.max_enc_len, dtype=self.ecfg.dtype)
+            self.enc_mask = jnp.zeros_like(self.enc_mask)
+            self.pos = jnp.zeros_like(self.pos)
+            self.cur_tok = jnp.zeros_like(self.cur_tok)
+            self.done = jnp.ones_like(self.done)
+        log.warning("stt engine abort (%s): flushing %d requests",
+                    reason, len(victims))
+        for req, t_start in victims:
+            res = STTResult(tokens=[], no_speech_prob=1.0,
+                            duration=len(req.audio) / self.ecfg.sample_rate,
+                            inf_time=time.monotonic() - t_start, text="")
+            try:
+                req.text_cb(res)
+            except Exception:
+                log.exception("stt abort flush callback failed")
+
     def submit(self, req: STTRequest) -> int:
         """Encode + prefill + join one utterance (queued if slots are full).
 

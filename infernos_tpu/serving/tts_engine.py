@@ -368,6 +368,33 @@ class TTSEngine:
         self.sessions[slot] = sess
         return sid
 
+    def abort_all(self, reason: str = "engine failure") -> None:
+        """Supervision hook: flush EOS to every live and queued session and
+        reset engine state so the next call starts clean.  Callers are never
+        stranded (SURVEY section 5.3 -- the reference has no restart path;
+        a dead worker silently strands its sessions)."""
+        with self._lock:
+            victims = [s for s in self.sessions if s is not None]
+            pend = list(self._pending)
+            self._pending.clear()
+            self.sessions = [None] * self.ecfg.batch_slots
+            self._inflight = None
+            self._last_dispatch_t = None
+            self.state = self._init_state()
+        log.warning("tts engine abort (%s): EOS to %d live + %d queued",
+                    reason, len(victims), len(pend))
+        for s in victims:
+            try:
+                s.callback(None)
+            except Exception:
+                log.exception("tts abort EOS callback failed (sid=%s)", s.sid)
+        for item in pend:
+            try:
+                item[3](None)
+            except Exception:
+                log.exception("tts abort EOS callback failed (queued sid=%s)",
+                              item[0])
+
     def cancel_session(self, sid: int) -> None:
         """Barge-in: stop generating for this session (slot mask, no recompile;
         reference does this with a Python flag, ``Cluster/TTSSession.py:62-68``)."""

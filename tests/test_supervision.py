@@ -1,0 +1,215 @@
+"""Supervision tests: a crashing engine never strands its callers.
+
+VERDICT round-1 item 8 'Done' criterion: kill an engine mid-call; the caller
+gets EOS and the next call succeeds.  The reference has no restart path at
+all (SURVEY section 5.3) -- a dead worker thread silently strands every
+session -- so this layer is strictly beyond parity.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from infernos_tpu.models import hifigan as hfg
+from infernos_tpu.models import qwen
+from infernos_tpu.models import speecht5 as st5
+from infernos_tpu.models import whisper as wsp
+from infernos_tpu.serving.driver import EngineDriver
+from infernos_tpu.serving.llm_engine import LLMEngine, LLMEngineConfig, LLMRequest
+from infernos_tpu.serving.stt_engine import STTEngine, STTEngineConfig, STTRequest
+from infernos_tpu.serving.tts_engine import TTSEngine, TTSEngineConfig
+
+from test_tts_engine import TINY as TTS_TINY, VOC
+from test_stt_engine import TINY as STT_TINY
+from test_llm_engine import TINY as LLM_TINY, _detok
+
+
+def _tts_engine():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = st5.init_params(k1, TTS_TINY)
+    voc_params = hfg.init_params(k2, VOC)
+    ecfg = TTSEngineConfig(batch_slots=2, max_text_tokens=16, max_steps=32,
+                           pre_frames=4, chunk_schedule=(8,), min_steps=2,
+                           stop_threshold=2.0)
+    return TTSEngine(params, TTS_TINY, voc_params, VOC, ecfg)
+
+
+class _Chaos:
+    """Wraps an engine's step() to raise on command (fault injection)."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.bomb = 0
+        self._real_step = engine.step
+
+    def step(self):
+        if self.bomb > 0:
+            self.bomb -= 1
+            raise RuntimeError("injected device fault")
+        return self._real_step()
+
+    def __getattr__(self, name):
+        return getattr(self.engine, name)
+
+
+def _run_tts_session(eng, driver, timeout=20.0):
+    """Start one session; returns (chunks list, got_eos event)."""
+    chunks = []
+    eos = threading.Event()
+
+    def cb(a):
+        if a is None:
+            eos.set()
+        else:
+            chunks.append(a)
+
+    eng.start_session(np.arange(2, 8, dtype=np.int32),
+                      np.zeros(TTS_TINY.speaker_embedding_dim, np.float32),
+                      cb, max_frames=16)
+    driver.kick()
+    return chunks, eos
+
+
+def test_tts_driver_crash_flushes_eos_and_recovers():
+    eng = _tts_engine()
+    eng.warmup()
+    chaos = _Chaos(eng)
+    driver = EngineDriver(chaos, name="tts-chaos")
+    driver.start()
+    try:
+        # healthy call completes
+        chunks, eos = _run_tts_session(eng, driver)
+        assert eos.wait(30.0), "healthy call did not finish"
+        assert chunks, "healthy call produced no audio"
+
+        # crash mid-call: caller must still get EOS
+        chaos.bomb = 1
+        chunks2, eos2 = _run_tts_session(eng, driver)
+        assert eos2.wait(30.0), "caller stranded after engine crash"
+
+        # and the NEXT call succeeds end-to-end
+        chunks3, eos3 = _run_tts_session(eng, driver)
+        assert eos3.wait(30.0), "engine did not recover after crash"
+        assert chunks3, "recovered engine produced no audio"
+    finally:
+        driver.stop()
+
+
+def test_tts_abort_flushes_queued_sessions():
+    eng = _tts_engine()
+    got = []
+    # fill both slots plus one queued
+    for i in range(3):
+        eng.start_session(np.arange(2, 6, dtype=np.int32),
+                          np.zeros(TTS_TINY.speaker_embedding_dim, np.float32),
+                          lambda a, i=i: got.append((i, a is None)),
+                          max_frames=16)
+    assert len(eng._pending) == 1
+    eng.abort_all("test")
+    # every session -- live and queued -- got exactly one EOS
+    assert sorted(got) == [(0, True), (1, True), (2, True)]
+    assert eng.n_active == 0 and not eng._pending
+
+
+def test_stt_driver_crash_unblocks_and_recovers():
+    params = wsp.init_params(jax.random.PRNGKey(0), STT_TINY)
+    ecfg = STTEngineConfig(batch_slots=2, buckets_s=(1,), sample_rate=16000,
+                           max_new_tokens=4, max_prompt_tokens=8,
+                           lang_tokens={"en": 10}, task_transcribe=12,
+                           task_translate=13, no_timestamps=14, no_speech=4)
+    eng = STTEngine(params, STT_TINY, ecfg)
+    chaos = _Chaos(eng)
+    driver = EngineDriver(chaos, name="stt-chaos")
+    driver.start()
+    try:
+        audio = (0.1 * np.random.default_rng(0)
+                 .standard_normal(8000)).astype(np.float32)
+
+        def ask():
+            done = threading.Event()
+            box = []
+
+            def cb(r):
+                box.append(r)
+                done.set()
+
+            eng.submit(STTRequest(audio=audio, text_cb=cb))
+            driver.kick()
+            return box, done
+
+        box, done = ask()
+        assert done.wait(30.0)
+
+        chaos.bomb = 1
+        box2, done2 = ask()
+        assert done2.wait(30.0), "caller stranded after STT crash"
+        # the abort flush marks the result unaudible, not silently empty-OK
+        if not box2[0].tokens:
+            assert box2[0].no_speech_prob == 1.0
+
+        box3, done3 = ask()
+        assert done3.wait(30.0), "STT engine did not recover"
+    finally:
+        driver.stop()
+
+
+def test_llm_abort_flushes_partial_and_recovers():
+    params = qwen.init_params(jax.random.PRNGKey(0), LLM_TINY)
+    ecfg = LLMEngineConfig(batch_slots=2, prompt_buckets=(16,),
+                           max_total_tokens=32, max_new_tokens=6)
+    eng = LLMEngine(params, LLM_TINY, ecfg, detokenize=_detok)
+    eng.warmup()
+
+    outs = []
+    eng.submit(LLMRequest(prompt_ids=np.arange(3, 9, dtype=np.int32),
+                          sentence_cb=lambda s, fin: outs.append((s, fin))))
+    eng.step()  # generate a little
+    eng.abort_all("test")
+    assert outs and outs[-1][1] is True, "no final flush on abort"
+
+    # next request runs clean
+    outs2 = []
+    eng.submit(LLMRequest(prompt_ids=np.arange(3, 9, dtype=np.int32),
+                          sentence_cb=lambda s, fin: outs2.append((s, fin))))
+    while eng.step():
+        pass
+    assert outs2 and outs2[-1][1] is True
+
+
+def test_crash_storm_stops_driver():
+    eng = _tts_engine()
+    chaos = _Chaos(eng)
+    chaos.bomb = 100  # every step raises
+    driver = EngineDriver(chaos, name="storm", max_crashes=3,
+                          crash_window_s=30.0)
+    driver.start()
+    _run_tts_session(eng, driver)
+    t0 = time.monotonic()
+    while driver.is_alive() and time.monotonic() - t0 < 10.0:
+        driver.kick()
+        time.sleep(0.05)
+    assert not driver.is_alive(), "crash storm did not stop the driver"
+    assert len(driver.crash_times) >= 3
+
+
+def test_actor_mailbox_survives_dispatch_bug():
+    from infernos_tpu.cluster.actors import Actor, spawn
+
+    class Weird(Actor):
+        def __init__(self):
+            self.calls = 0
+
+        def poke(self):
+            self.calls += 1
+            return self.calls
+
+    h = spawn(Weird, name="weird-test")
+    assert h.ask_sync("poke", timeout=5.0) == 1
+    # a fire-and-forget call to a MISSING method must not kill the mailbox
+    h.call("no_such_method")
+    assert h.ask_sync("poke", timeout=5.0) == 2
+    h.stop()
