@@ -19,7 +19,8 @@ import uuid as uuid_mod
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-from ...audio.chunk import VadAudioChunk
+from ...audio.chunk import AudioChunk, VadAudioChunk
+from ...audio.signals import vad_signals
 from ...media.ingest import AudioInput
 from ...serving.sessions import STTRequest, TTSRequest
 from ...sip.agent import NewSessionRequest
@@ -97,10 +98,32 @@ class LTSession:
             d.translator = actor.get_translator(s_lang, t_lang)
             d.n2w = NumbersToWords(t_lang)
             self.dirs[name] = d
+            # audible VAD signals: mirror an engage/disengage jingle back to
+            # the SPEAKER's leg on its own mixer track when speech capture
+            # starts/stops (reference VADSignals, LTSession.py:44-50; tones
+            # synthesized locally instead of URL-fetched).  Transition
+            # detection runs inline on the VAD worker thread so the actor
+            # mailbox sees only transitions, not every 20 ms window.
+            eng_tone, deng_tone = vad_signals(8000)
+
+            def mk_audio_in(src=src_rtp, state={"active": False}):
+                def audio_in(chunk):
+                    act = bool(getattr(chunk, "active", False))
+                    if act == state["active"]:
+                        return
+                    state["active"] = act
+                    tone = AudioChunk((eng_tone if act else deng_tone).copy(),
+                                      8000)
+                    tone.track_id = 2
+                    actor.rtp_actr.call("rtp_session_soundout", src, tone)
+                return audio_in
+
             actor.rtp_actr.call(
                 "rtp_session_connect", src_rtp,
-                AudioInput(vad_chunk_in=lambda chunk, dn=name: actor.handle.call(
-                    "vad_chunk_in", self.id, dn, chunk)))
+                AudioInput(
+                    audio_in=mk_audio_in(),
+                    vad_chunk_in=lambda chunk, dn=name: actor.handle.call(
+                        "vad_chunk_in", self.id, dn, chunk)))
         log.info("LTSession %s bridged %s<->%s", self.id, lang_a, lang_b)
 
     # -- per-direction flow ------------------------------------------------------

@@ -302,6 +302,29 @@ def test_live_translator_bridge(lt_cluster):
         audio = bob.rx_audio()
         assert len(audio) > 800, "no translated TTS audio reached Bob"
         assert np.abs(audio).max() > 1e-3
+
+        # VERDICT round-1 item 9: audible VAD signals.  The engage jingle is
+        # mirrored to the SPEAKER's leg when speech capture starts (reference
+        # VADSignals, LTSession.py:44-50) -- Alice hears tones at the jingle
+        # frequencies (440/660 Hz) even though nobody spoke to her.
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            a_audio = alice.rx_audio()
+            if len(a_audio) >= 1200 and np.abs(a_audio).max() > 1e-3:
+                break
+            time.sleep(0.25)
+        a_audio = alice.rx_audio()
+        assert len(a_audio) >= 1200, "no VAD signal audio on Alice's leg"
+
+        def band_power(x, f, sr=8000):
+            n = len(x)
+            t = np.arange(n) / sr
+            c = x @ np.exp(-2j * np.pi * f * t)
+            return (abs(c) / n) ** 2
+
+        p_tone = band_power(a_audio, 440.0) + band_power(a_audio, 660.0)
+        p_ref = band_power(a_audio, 1150.0) + band_power(a_audio, 1730.0)
+        assert p_tone > 10 * max(p_ref, 1e-12), (p_tone, p_ref)
         alice.hangup()
     finally:
         alice.close()

@@ -176,3 +176,24 @@ def test_endpoint_udp_loopback():
         ep_a.shutdown()
         ep_b.shutdown()
         ring.stop()
+
+
+def test_vad_signal_jingles():
+    """Locally synthesized engage/disengage tones (reference VADSignals,
+    Apps/LiveTranslator/LTSession.py:44-50, minus the network fetch)."""
+    from infernos_tpu.audio.signals import vad_signals
+
+    for sr in (8000, 16000):
+        eng, deng = vad_signals(sr)
+        for tone in (eng, deng):
+            assert tone.dtype == np.float32
+            assert 0.1 * sr < len(tone) < 0.5 * sr  # short jingle
+            assert 0.05 < np.abs(tone).max() <= 1.0
+        # engage ascends (ends high), disengage descends (ends low):
+        # distinguish by dominant frequency of the final 60 ms
+        def dom_freq(x):
+            tail = x[-int(0.06 * sr):]
+            spec = np.abs(np.fft.rfft(tail))
+            return np.fft.rfftfreq(len(tail), 1.0 / sr)[np.argmax(spec)]
+
+        assert dom_freq(eng) > dom_freq(deng)
