@@ -21,9 +21,20 @@ log = get_logger("apps.aia")
 
 
 class AIAActor(Actor):
-    def __init__(self, profile, tiny: bool = True):
+    def __init__(self, profile, tiny: bool = True, translator_backend=None):
         self.profile = profile
         self.tiny = tiny
+        # LLM replies are translated when the attendant's STT language
+        # differs from its TTS voice (reference translator-if-lang-differs,
+        # Apps/AIAttendant/AIAActor.py:47-51); identity when langs match
+        if profile.stt_lang != profile.tts_lang:
+            from ...t2t.translator import get_translator
+
+            self.translate = get_translator(
+                profile.stt_lang, profile.tts_lang,
+                backend=translator_backend).translate
+        else:
+            self.translate = lambda text: text
         self.sessions: Dict[uuid_mod.UUID, AIASession] = {}
         self.thumbstones: List[uuid_mod.UUID] = []
         # wired by start()

@@ -152,6 +152,7 @@ class AIASession:
         text = r.text.strip()
         if not text or NOTHING_TO_SAY in text:
             return
+        text = self.actor.translate(text)
         for group in regroup_sentences(sent_split(self.n2w(text))):
             self.say_queue.append(group)
         self._pump_say()

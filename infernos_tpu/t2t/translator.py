@@ -52,6 +52,35 @@ class LLMBackend:
         ).strip()
 
 
+def llm_backend_from_actor(llm_actr, langs: Optional[List[str]] = None,
+                           timeout: float = 60.0) -> LLMBackend:
+    """Production glue: an :class:`LLMBackend` whose completions run through
+    a live ``LLMActor``.  Each translation uses a fresh one-shot session
+    (translations are stateless; sharing chat context across unrelated
+    sentences would leak content between them)."""
+
+    def complete(prompt: str) -> str:
+        done = threading.Event()
+        parts: List[str] = []
+
+        def cb(res) -> None:
+            if res.text:
+                parts.append(res.text)
+            if res.is_final:
+                done.set()
+
+        sid = llm_actr.ask_sync("new_llm_session", "")
+        try:
+            llm_actr.call("llm_session_textin", sid, prompt, cb)
+            if not done.wait(timeout):
+                raise TimeoutError("LLM translation timed out")
+        finally:
+            llm_actr.call("llm_session_end", sid)
+        return " ".join(parts)
+
+    return LLMBackend(complete, langs=langs)
+
+
 class Translator:
     """Direct or pivot-chained translation callable for one language pair."""
 

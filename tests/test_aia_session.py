@@ -118,6 +118,7 @@ class StubActor:
         self.rtp_actr = StubHandle()
         self.sip_actr = StubHandle()
         self.handle = StubHandle(self)  # route handle.call -> methods below
+        self.translate = lambda text: text  # langs match: identity
         self.sess = None
 
     # routed callbacks (normally AIAActor methods)
@@ -245,3 +246,19 @@ def test_term_cleans_up():
     assert "stt_end" in kinds and "tts_end" in kinds and "llm_end" in kinds
     # idempotent
     sess.term()
+
+
+def test_cross_lang_reply_translated():
+    """Reference translator-if-lang-differs (AIAActor.py:47-51): LLM output
+    is translated to the TTS language before speaking."""
+    actor, sess = _mk()
+    from infernos_tpu.t2t.translator import get_translator
+
+    actor.profile = AIAProfileConf(name="t", stt_lang="en", tts_lang="pt",
+                                   llm_prompt="be brief")
+    actor.translate = get_translator("en", "pt").translate  # EchoBackend tags
+    sess.text_in(_res("q"))
+    sess.stt_flush()  # live_req_id -> 0
+    sess.text_out(_llm("Hello there.", True, 0))
+    said = [e[1] for e in actor.model.log if e[0] == "say"]
+    assert said and said[0].startswith("[en->pt]"), said
