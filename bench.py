@@ -30,10 +30,9 @@ import jax.numpy as jnp
 
 # persistent compilation cache (env vars are too late: the axon
 # sitecustomize pre-imports jax, so set it through jax.config)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from infernos_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 
 def build_engine(on_tpu: bool, B: int, chunk_schedule, max_steps: int):

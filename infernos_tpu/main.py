@@ -109,10 +109,12 @@ def main(argv: List[str]) -> int:
         with open(pidfile, "w") as f:
             f.write(str(os.getpid()))
 
+    from .utils.compile_cache import enable as enable_compile_cache
     from .utils.platform import ensure_backend
 
+    cache_dir = enable_compile_cache()  # warm daemon restarts skip recompiles
     platform = ensure_backend()
-    log.info("compute platform: %s", platform)
+    log.info("compute platform: %s (compile cache %s)", platform, cache_dir)
     iconf = InfernConfig(args[0])
     build_cluster(iconf, tiny=tiny)
     log.info("infernos_tpu up; SIP on %s:%d", *iconf.sip_conf.bind)

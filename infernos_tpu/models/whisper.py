@@ -174,14 +174,43 @@ def encode(params, cfg: WhisperConfig, mel):
 class WhisperCache(NamedTuple):
     self_k: jnp.ndarray  # [L, B, H, Tmax, Dh]
     self_v: jnp.ndarray
-    cross_k: jnp.ndarray  # [L, B, H, S, Dh]
-    cross_v: jnp.ndarray
+    # arrays [L, B, H, S, Dh], or int8 dicts {"q": int8, "s": f32[..., S, 1]}
+    # (per-position symmetric quantization; see quantize_kv)
+    cross_k: Any
+    cross_v: Any
+
+
+def quantize_kv(x) -> Dict[str, jnp.ndarray]:
+    """Per-position symmetric int8 over the head dim: [..., S, Dh] ->
+    {"q": int8 [..., S, Dh], "s": f32 [..., S, 1]}.
+
+    The cross K/V cache is the decode step's dominant HBM traffic (large-v3
+    at the 32 s bucket: ~0.5 GB/slot in bf16, read every token step); int8
+    cuts that ~4x, the same lever the reference buys from ctranslate2's int8
+    engine (``Cluster/InfernSTTWorker.py:36``)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    s = (amax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def dequantize_kv(c, dtype):
+    """Inverse of quantize_kv; passes dense arrays through unchanged.  XLA
+    fuses the int8->dtype convert + scale into the attention dot's operand
+    load, so no dense copy materializes in HBM."""
+    if isinstance(c, dict):
+        return c["q"].astype(dtype) * c["s"].astype(dtype)
+    return c
 
 
 def init_cache(cfg: WhisperConfig, batch: int, max_steps: int, enc_len: int,
-               dtype=jnp.float32) -> WhisperCache:
+               dtype=jnp.float32, cross_int8: bool = False) -> WhisperCache:
     Lyr, H, Dh = cfg.decoder_layers, cfg.decoder_attention_heads, cfg.head_dim
     z = lambda t: jnp.zeros((Lyr, batch, H, t, Dh), dtype)
+    if cross_int8:
+        zq = lambda t: {"q": jnp.zeros((Lyr, batch, H, t, Dh), jnp.int8),
+                        "s": jnp.zeros((Lyr, batch, H, t, 1), jnp.float32)}
+        return WhisperCache(z(max_steps), z(max_steps), zq(enc_len), zq(enc_len))
     return WhisperCache(z(max_steps), z(max_steps), z(enc_len), z(enc_len))
 
 
@@ -192,6 +221,8 @@ def fill_cross_kv(params, cfg: WhisperConfig, cache: WhisperCache, enc_out) -> W
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, params["dec_layers"])
+    if isinstance(cache.cross_k, dict):
+        ks, vs = quantize_kv(ks), quantize_kv(vs)
     return cache._replace(cross_k=ks, cross_v=vs)
 
 
@@ -239,7 +270,8 @@ def decode_step(params, cfg: WhisperConfig, tokens, cache: WhisperCache, pos,
         x = x + h
         h = L.cross_attention_step(
             lp["cross_attn"], L.layer_norm(x, lp["ln2"]),
-            ck_l, cv_l, n_heads=H, kv_mask=enc_mask,
+            dequantize_kv(ck_l, x.dtype), dequantize_kv(cv_l, x.dtype),
+            n_heads=H, kv_mask=enc_mask,
         )
         x = x + h
         h = L.layer_norm(x, lp["ln3"])

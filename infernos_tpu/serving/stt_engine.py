@@ -76,6 +76,10 @@ class STTEngineConfig:
     # whisper vocabulary, nothing for tiny test vocabs.
     suppress_tokens: Optional[Sequence[int]] = None
     begin_suppress_tokens: Optional[Sequence[int]] = None
+    # int8 cross-K/V cache: ~4x less HBM per slot AND per decode step (the
+    # cross cache is the step's dominant memory traffic at large-v3) --
+    # enables wider slot counts at the 32 s bucket (NEXT.md item 2/3)
+    cross_kv_int8: bool = False
 
     @property
     def max_total_tokens(self) -> int:
@@ -141,7 +145,8 @@ class STTEngine:
         B = ecfg.batch_slots
         self.max_enc_len = (max(ecfg.buckets_s) * ecfg.sample_rate // HOP) // 2
         self.cache = wsp.init_cache(cfg, B, ecfg.max_total_tokens,
-                                    self.max_enc_len, dtype=ecfg.dtype)
+                                    self.max_enc_len, dtype=ecfg.dtype,
+                                    cross_int8=ecfg.cross_kv_int8)
         self.enc_mask = jnp.zeros((B, self.max_enc_len), bool)
         self.pos = jnp.zeros((B,), jnp.int32)
         self.cur_tok = jnp.zeros((B,), jnp.int32)
@@ -234,15 +239,18 @@ class STTEngine:
         pad_s = self.max_enc_len - S
         ck = jnp.pad(ck, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
         cv = jnp.pad(cv, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        if self.ecfg.cross_kv_int8:
+            ck, cv = wsp.quantize_kv(ck), wsp.quantize_kv(cv)
         P = self_k.shape[3]
         pad_t = self.ecfg.max_total_tokens - P
         sk = jnp.pad(self_k[:, 0], ((0, 0), (0, 0), (0, pad_t), (0, 0)))
         sv = jnp.pad(self_v[:, 0], ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        upd_slot = lambda c, n: jax.lax.dynamic_update_index_in_dim(c, n, slot, 1)
         cache = cache._replace(
-            cross_k=jax.lax.dynamic_update_index_in_dim(cache.cross_k, ck, slot, 1),
-            cross_v=jax.lax.dynamic_update_index_in_dim(cache.cross_v, cv, slot, 1),
-            self_k=jax.lax.dynamic_update_index_in_dim(cache.self_k, sk, slot, 1),
-            self_v=jax.lax.dynamic_update_index_in_dim(cache.self_v, sv, slot, 1),
+            cross_k=jax.tree_util.tree_map(upd_slot, cache.cross_k, ck),
+            cross_v=jax.tree_util.tree_map(upd_slot, cache.cross_v, cv),
+            self_k=upd_slot(cache.self_k, sk),
+            self_v=upd_slot(cache.self_v, sv),
         )
         mask_row = (jnp.arange(self.max_enc_len) < enc_len)
         enc_mask = jax.lax.dynamic_update_index_in_dim(enc_mask, mask_row, slot, 0)
@@ -341,7 +349,8 @@ class STTEngine:
             self._inflight = None
             self.cache = wsp.init_cache(self.cfg, self.ecfg.batch_slots,
                                         self.ecfg.max_total_tokens,
-                                        self.max_enc_len, dtype=self.ecfg.dtype)
+                                        self.max_enc_len, dtype=self.ecfg.dtype,
+                                        cross_int8=self.ecfg.cross_kv_int8)
             self.enc_mask = jnp.zeros_like(self.enc_mask)
             self.pos = jnp.zeros_like(self.pos)
             self.cur_tok = jnp.zeros_like(self.cur_tok)

@@ -109,3 +109,29 @@ def test_slots_exhausted_queues(engine):
     while engine.step():
         pass
     assert len(outs) == 5  # the queued one ran once a slot freed
+
+
+def test_cross_kv_int8_matches_dense():
+    """int8 cross-K/V decode must track the dense path: same greedy tokens
+    on the tiny model (quantization noise << logit gaps of a random net)."""
+    import dataclasses as dc
+
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    base = STTEngineConfig(
+        batch_slots=2, buckets_s=(1,), sample_rate=16000,
+        max_new_tokens=6, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4)
+
+    def run(ecfg):
+        eng = STTEngine(params, TINY, ecfg)
+        out = []
+        eng.submit(STTRequest(audio=_audio(0.7, seed=3), text_cb=out.append))
+        while eng.step():
+            pass
+        return out[0]
+
+    dense = run(base)
+    q = run(dc.replace(base, cross_kv_int8=True))
+    assert q.tokens == dense.tokens, (q.tokens, dense.tokens)
+    assert abs(q.no_speech_prob - dense.no_speech_prob) < 0.05
