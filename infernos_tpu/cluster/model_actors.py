@@ -73,7 +73,16 @@ class TTSActor(Actor):
         self.lang = lang
         self.tokenizer = CharTokenizer()
         self.bank = SpeakerBank.synthetic(dim=cfg.speaker_embedding_dim)
-        self.engine = TTSEngine(params, cfg, voc_params, voc, ecfg)
+        # chunk-boundary smoother: in-repo trained declicker when available
+        # (full-dims engines only; its conditioning is 80-mel x 256-sample
+        # frames, the reference post-vocoder geometry)
+        amd_params = None
+        if not self.tiny:
+            from ..models import amendnet as amd
+
+            amd_params = amd.load_pretrained()
+        self.engine = TTSEngine(params, cfg, voc_params, voc, ecfg,
+                                amd_params=amd_params)
         self.engine.warmup()
         self.driver = EngineDriver(self.engine, name="tts")
         self.driver.start()

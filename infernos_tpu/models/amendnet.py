@@ -52,6 +52,16 @@ def init_params(key, cfg: AmendNetConfig) -> Dict[str, Any]:
     return p
 
 
+def load_pretrained(path: str = None) -> Dict[str, Any] | None:
+    """In-repo trained smoother weights (``tools/train_amendnet.py``: a
+    boundary declicker trained on synthetic chunk artifacts -- the
+    zero-egress substitute for the reference's downloaded
+    ``sobomax/speecht5-rt.post_vocoder.v2``), or None when absent."""
+    from .npz_io import data_path, load_params
+
+    return load_params(path or data_path("amendnet_weights.npz"))
+
+
 def apply(params, cfg: AmendNetConfig, mel, audio):
     """Smooth one vocoded chunk.
 

@@ -117,43 +117,14 @@ def apply(params, cfg: VADConfig, window, state: VADState) -> Tuple[jnp.ndarray,
     return prob, VADState(jnp.stack(hs), jnp.stack(cs))
 
 
-_WEIGHTS_PATH = None  # resolved lazily
-
-
-def _weights_path() -> str:
-    import os
-
-    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "data", "vad_weights.npz")
-
-
 def load_pretrained(path: str = None) -> Dict[str, Any] | None:
     """Load the in-repo trained VAD weights (``tools/train_vad.py``), or
     None when absent.  The reference downloads Silero's checkpoint at
     runtime (``Core/VAD/SileroVAD.py:44-45``); here the same-class network
     is trained on synthetic telephone audio and vendored as data."""
-    import os
+    from .npz_io import data_path, load_params
 
-    path = path or _weights_path()
-    if not os.path.exists(path):
-        return None
-    raw = np.load(path)
-    cfg = VADConfig()
-    p: Dict[str, Any] = {"lstm": [dict() for _ in range(cfg.lstm_layers)]}
-    for key in raw.files:
-        val = jnp.asarray(raw[key])
-        # keys are jax keystr paths like "['lstm'][0]['wi']" / "['conv1']['w']"
-        parts = [s.strip("'") for s in
-                 key.replace("]", "").split("[") if s.strip("'")]
-        node = p
-        for part in parts[:-1]:
-            idx = int(part) if part.isdigit() else part
-            if isinstance(idx, str) and idx not in node:
-                node[idx] = {}
-            node = node[idx]
-        last = parts[-1]
-        node[int(last) if last.isdigit() else last] = val
-    return p
+    return load_params(path or data_path("vad_weights.npz"))
 
 
 class NeuralVAD:

@@ -44,6 +44,10 @@ class LLMEngineConfig:
     max_total_tokens: int = 2048
     max_new_tokens: int = 1024
     dtype: Any = jnp.float32
+    # decode steps per device dispatch (lax.scan over the in-device AR
+    # loop): amortizes host dispatch latency K-fold; sentence streaming
+    # granularity becomes K tokens, invisible behind the >=10-char flush
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass
@@ -168,11 +172,25 @@ class LLMEngine:
         return cache, pos, cur_tok, done
 
     def _step(self, params, cache, pos, cur_tok, done):
-        logits, cache = qwen.decode_step(params, self.cfg, cur_tok, cache, pos)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        pos = jnp.where(done, pos, pos + 1)
-        cur_tok = jnp.where(done, cur_tok, nxt)
-        return cache, pos, cur_tok, nxt
+        """K greedy steps in one dispatch; returns per-step tokens [B, K]."""
+        eos = jnp.asarray(sorted(self.eos_ids), jnp.int32)
+
+        def one(carry, _):
+            cache, pos, cur_tok, done = carry
+            logits, cache = qwen.decode_step(params, self.cfg, cur_tok, cache, pos)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # freeze a slot in-device once it emits EOS inside this window
+            # (host-side finish still owns slot lifecycle)
+            is_eos = jnp.any(nxt[:, None] == eos[None, :], axis=-1)
+            new_done = jnp.logical_or(done, is_eos)
+            pos = jnp.where(done, pos, pos + 1)
+            cur_tok = jnp.where(new_done, cur_tok, nxt)
+            return (cache, pos, cur_tok, new_done), nxt
+
+        (cache, pos, cur_tok, _), nxts = jax.lax.scan(
+            one, (cache, pos, cur_tok, done), None,
+            length=self.ecfg.steps_per_dispatch)
+        return cache, pos, cur_tok, nxts.T
 
     # -- public API -----------------------------------------------------------
 
@@ -274,19 +292,25 @@ class LLMEngine:
             self._harvest(*prev)
         return True
 
-    def _harvest(self, nxt, snapshot) -> None:
-        nxt_np = jax.device_get(nxt)
+    def _harvest(self, nxts, snapshot) -> None:
+        nxt_np = jax.device_get(nxts)  # [B, K]
+        K = nxt_np.shape[1]
         for i, s in enumerate(snapshot):
             if s is None or self.slots[i] is not s:
                 continue
-            tok = int(nxt_np[i])
             limit = s.req.max_new_tokens or self.ecfg.max_new_tokens
             budget = self.ecfg.max_total_tokens - s.prompt_len - 1
-            if tok in self.eos_ids or s.new_tokens >= min(limit, budget):
-                self._finish(i, s)
-            else:
+            cap = min(limit, budget)
+            fin = False
+            for k in range(K):
+                tok = int(nxt_np[i, k])
+                if tok in self.eos_ids or s.new_tokens >= cap:
+                    fin = True
+                    break
                 s.streamer.push(tok)
                 s.new_tokens += 1
+            if fin:
+                self._finish(i, s)
         # EOS detection is host-side only, so device ``done`` is exactly
         # slot emptiness.  Deriving it from occupancy (instead of the
         # pre-_finish flags) keeps a request that _finish->_submit_locked

@@ -59,7 +59,11 @@ SOT_PREV_V3 = SPECIALS_V3.startofprev        # 50362 (v2's is 50361)
 @dataclasses.dataclass(frozen=True)
 class STTEngineConfig:
     batch_slots: int = 8
-    buckets_s: Sequence[int] = (8, 16, 32)  # audio-length buckets
+    # audio-length buckets; 30 s is whisper's encoder max (1500 positions,
+    # models/whisper.py max_source_positions) -- the reference's 32 s request
+    # bound (InfernSTTWorker.py:18) rides ct2's internal 30 s window the
+    # same way: longer merged audio is truncated at submit
+    buckets_s: Sequence[int] = (8, 16, 30)
     sample_rate: int = 16000
     max_new_tokens: int = 224
     max_prompt_tokens: int = 32
@@ -80,6 +84,13 @@ class STTEngineConfig:
     # cross cache is the step's dominant memory traffic at large-v3) --
     # enables wider slot counts at the 32 s bucket (NEXT.md item 2/3)
     cross_kv_int8: bool = False
+    # decode steps per device dispatch (lax.scan): the AR feedback loop is
+    # already in-device (done flags, frozen cur_tok), so chaining K steps
+    # amortizes host dispatch latency K-fold -- the difference between
+    # dispatch-bound and compute-bound decode on remote/tunneled chips, and
+    # still strictly fewer host round trips locally.  Joins land between
+    # dispatches (<= K-step added queueing for a new utterance).
+    steps_per_dispatch: int = 1
 
     @property
     def max_total_tokens(self) -> int:
@@ -260,18 +271,28 @@ class STTEngine:
         return cache, enc_mask, pos, cur_tok, done
 
     def _step(self, params, cache, enc_mask, pos, cur_tok, done):
-        """One greedy step for all slots."""
-        logits, cache = wsp.decode_step(params, self.cfg, cur_tok, cache,
-                                        pos, enc_mask=enc_mask)
+        """K greedy steps for all slots in ONE dispatch (K =
+        ``steps_per_dispatch``).  Returns per-step tokens/done ``[B, K]``."""
         sup = self._suppress_ids()
-        if sup:
-            logits = logits.at[:, jnp.asarray(sup)].set(L.NEG_INF)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        is_eos = nxt == self.cfg.eos_token_id
-        new_done = jnp.logical_or(done, is_eos)
-        pos = jnp.where(done, pos, pos + 1)
-        cur_tok = jnp.where(new_done, cur_tok, nxt)
-        return cache, pos, cur_tok, new_done, nxt
+        sup_arr = jnp.asarray(sup) if sup else None
+
+        def one(carry, _):
+            cache, pos, cur_tok, done = carry
+            logits, cache = wsp.decode_step(params, self.cfg, cur_tok, cache,
+                                            pos, enc_mask=enc_mask)
+            if sup_arr is not None:
+                logits = logits.at[:, sup_arr].set(L.NEG_INF)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            is_eos = nxt == self.cfg.eos_token_id
+            new_done = jnp.logical_or(done, is_eos)
+            pos = jnp.where(done, pos, pos + 1)
+            cur_tok = jnp.where(new_done, cur_tok, nxt)
+            return (cache, pos, cur_tok, new_done), (nxt, new_done)
+
+        (cache, pos, cur_tok, done), (nxts, dones) = jax.lax.scan(
+            one, (cache, pos, cur_tok, done), None,
+            length=self.ecfg.steps_per_dispatch)
+        return cache, pos, cur_tok, done, nxts.T, dones.T
 
     # -- public API -----------------------------------------------------------
 
@@ -422,29 +443,35 @@ class STTEngine:
                 self._inflight = None
                 return self.n_active > 0
             return False
-        (self.cache, self.pos, self.cur_tok, self.done, nxt) = self._step_fn(
-            self.params, self.cache, self.enc_mask, self.pos, self.cur_tok,
-            self.done)
+        (self.cache, self.pos, self.cur_tok, self.done, nxts, dones) = \
+            self._step_fn(self.params, self.cache, self.enc_mask, self.pos,
+                          self.cur_tok, self.done)
         # one-step software pipeline: dispatch step N, harvest step N-1 while
         # the device computes (the AR feedback loop lives in-device, so the
         # host fetch is pure bookkeeping and can lag one step)
         prev = self._inflight
-        self._inflight = ((nxt, self.done, self.pos), list(self.slots))
+        self._inflight = ((nxts, dones, self.pos), list(self.slots))
         if prev is not None:
             self._harvest(*prev)
         return True
 
     def _harvest(self, bufs, snapshot) -> None:
-        nxt_np, done_np, pos_np = jax.device_get(bufs)
+        nxt_np, done_np, pos_np = jax.device_get(bufs)  # [B,K], [B,K], [B]
+        K = nxt_np.shape[1]
         for i, sess in enumerate(snapshot):
             if sess is None or self.slots[i] is not sess:
                 continue
-            tok = int(nxt_np[i])
-            finished = bool(done_np[i])
-            if not finished and tok != self.cfg.eos_token_id:
-                sess.tokens.append(tok)
+            finished = False
+            for k in range(K):
+                if bool(done_np[i, k]):  # eos fired at step k (not appended)
+                    finished = True
+                    break
+                tok = int(nxt_np[i, k])
+                if tok != self.cfg.eos_token_id:
+                    sess.tokens.append(tok)
             hit_limit = (pos_np[i] - sess.prompt_len) >= self.ecfg.max_new_tokens
             if finished or hit_limit:
+                del sess.tokens[self.ecfg.max_new_tokens + 1:]
                 self._finish(i, sess)
 
     def _finish(self, slot: int, sess: _Slot) -> None:

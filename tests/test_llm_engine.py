@@ -144,3 +144,27 @@ def test_queued_request_joins_freed_slot_and_matches_direct_run(engine):
         pass
     assert engine.n_active == 0
     assert queued == direct
+
+
+def test_multi_step_dispatch_matches_single():
+    """K decode steps per dispatch: same tokens, same sentence stream."""
+    import dataclasses as dc
+
+    params = qwen.init_params(jax.random.PRNGKey(0), TINY)
+    base = LLMEngineConfig(batch_slots=2, prompt_buckets=(16,),
+                           max_total_tokens=48, max_new_tokens=12)
+
+    def run(ecfg):
+        eng = LLMEngine(params, TINY, ecfg, detokenize=_detok)
+        outs = []
+        eng.submit(LLMRequest(prompt_ids=np.arange(3, 11, dtype=np.int32),
+                              sentence_cb=lambda s, f: outs.append((s, f))))
+        eng.submit(LLMRequest(prompt_ids=np.arange(20, 25, dtype=np.int32),
+                              sentence_cb=lambda s, f: outs.append((s, f))))
+        while eng.step():
+            pass
+        return outs
+
+    o1 = run(base)
+    o4 = run(dc.replace(base, steps_per_dispatch=4))
+    assert o1 == o4, (o1, o4)

@@ -135,3 +135,30 @@ def test_cross_kv_int8_matches_dense():
     q = run(dc.replace(base, cross_kv_int8=True))
     assert q.tokens == dense.tokens, (q.tokens, dense.tokens)
     assert abs(q.no_speech_prob - dense.no_speech_prob) < 0.05
+
+
+def test_multi_step_dispatch_matches_single():
+    """steps_per_dispatch=4 must produce identical transcripts to K=1 (the
+    AR loop is in-device either way; only dispatch granularity changes)."""
+    import dataclasses as dc
+
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    base = STTEngineConfig(
+        batch_slots=3, buckets_s=(1,), sample_rate=16000,
+        max_new_tokens=7, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4)
+
+    def run(ecfg):
+        eng = STTEngine(params, TINY, ecfg)
+        out = {}
+        for seed in (1, 2, 3):
+            eng.submit(STTRequest(audio=_audio(0.6, seed=seed),
+                                  text_cb=lambda r, s=seed: out.__setitem__(s, r)))
+        while eng.step():
+            pass
+        return {s: r.tokens for s, r in out.items()}
+
+    t1 = run(base)
+    t4 = run(dc.replace(base, steps_per_dispatch=4))
+    assert t1 == t4, (t1, t4)

@@ -209,3 +209,30 @@ def test_pause_does_not_block_other_sessions(engine):
     while engine.step():
         pass
     assert a_done == [True]
+
+
+def test_trained_amendnet_beats_identity_on_boundary_artifacts():
+    """Weak item 4: the chunk smoother must actually smooth.  Held-out
+    synthetic chunk artifacts (gain steps / DC / clicks): the trained
+    declicker (tools/train_amendnet.py) must reduce L1 vs passing the
+    corrupted chunk through."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from infernos_tpu.models import amendnet as amd
+
+    params = amd.load_pretrained()
+    if params is None:
+        pytest.skip("no trained amendnet checkpoint")
+    from tools.train_amendnet import make_batch
+
+    cfg = amd.AmendNetConfig()
+    rng = np.random.default_rng(20260817)  # held-out seed
+    mel, dirty, clean = make_batch(rng, 48, cfg)
+    out = np.asarray(amd.apply(params, cfg, jnp.asarray(mel), jnp.asarray(dirty)))
+    fs, pre, ck = cfg.frame_size, cfg.pre_frames, cfg.chunk_frames
+    ident = dirty[:, pre * fs:(pre + ck) * fs]
+    l1_net = float(np.abs(out - clean).mean())
+    l1_id = float(np.abs(ident - clean).mean())
+    assert l1_net < 0.8 * l1_id, (l1_net, l1_id)
