@@ -145,7 +145,14 @@ class TTSEngine:
         # -- compiled programs ------------------------------------------------
         # params flow as jit arguments (closure-captured arrays are baked
         # into executables as constants)
-        self._join_fn = jax.jit(self._join, donate_argnums=(1,))
+        # batched joins: one dispatch encodes up to 8 texts and writes all
+        # their slots -- at production call churn (tens of utterance starts
+        # per second) per-join dispatches would otherwise serialize with
+        # decode ticks and dominate TTFB on dispatch-latency-bound backends
+        self._join_fns = {
+            m: jax.jit(partial(self._join_many, m=m), donate_argnums=(1,))
+            for m in (1, 2, 4, 8)
+        }
         self._leave_fn = jax.jit(self._leave, donate_argnums=(0,))
         # one fused jit per chunk size: AR decode + postnet + vocoder +
         # context carry -- a single device dispatch and a single
@@ -174,11 +181,17 @@ class TTSEngine:
             mel_ctx=jnp.zeros((B, ecfg.pre_frames, M), ecfg.dtype),
         )
 
-    def _join(self, params, state: TTSState, slot, input_ids, attn_mask, spk):
-        """Encode one session's text and write it into ``slot`` (jitted)."""
+    def _join_many(self, params, state: TTSState, slots, input_ids, attn_mask,
+                   spk, *, m: int):
+        """Encode ``m`` sessions' texts in ONE batch and write their slots.
+
+        slots ``[m]`` int32, input_ids/attn_mask ``[m, S]``, spk ``[m, D]``.
+        Padding entries duplicate a real entry (same slot) -- the duplicate
+        write is idempotent, so bucketed m keeps shapes static.
+        """
         cfg = self.cfg
         spk = spk.astype(self.ecfg.dtype)
-        enc = st5.encode_text(params, cfg, input_ids, attn_mask)  # [1,S,D]
+        enc = st5.encode_text(params, cfg, input_ids, attn_mask)  # [m,S,D]
         enc = enc.astype(self.ecfg.dtype)
         from ..models import layers as L
 
@@ -188,27 +201,33 @@ class TTSEngine:
             return None, (k, v)
 
         _, (ck, cv) = jax.lax.scan(ckv, None, params["dec_layers"])
-        # ck/cv: [L,1,H,S,Dh]
-        cache = state.cache
-        zeros_k = jnp.zeros_like(cache.self_k[:, 0])
-        cache = cache._replace(
-            cross_k=jax.lax.dynamic_update_index_in_dim(cache.cross_k, ck[:, 0], slot, 1),
-            cross_v=jax.lax.dynamic_update_index_in_dim(cache.cross_v, cv[:, 0], slot, 1),
-            self_k=jax.lax.dynamic_update_index_in_dim(cache.self_k, zeros_k, slot, 1),
-            self_v=jax.lax.dynamic_update_index_in_dim(cache.self_v, zeros_k, slot, 1),
-        )
-        upd = lambda buf, val: jax.lax.dynamic_update_index_in_dim(buf, val, slot, 0)
+        # ck/cv: [L,m,H,S,Dh]
+        zeros_k = jnp.zeros_like(state.cache.self_k[:, 0])
         M = self.cfg.num_mel_bins
-        return state._replace(
-            cache=cache,
-            enc_mask=upd(state.enc_mask, attn_mask[0].astype(bool)),
-            spk=upd(state.spk, spk[0]),
-            prev_mel=upd(state.prev_mel, jnp.zeros((1, M), self.ecfg.dtype)),
-            pos=upd(state.pos, jnp.int32(0)),
-            stopped=upd(state.stopped, False),
-            active=upd(state.active, True),
-            mel_ctx=upd(state.mel_ctx, jnp.zeros((self.ecfg.pre_frames, M), self.ecfg.dtype)),
-        )
+        dt = self.ecfg.dtype
+        for i in range(m):  # unrolled (m <= 8): slot writes, one per entry
+            slot = slots[i]
+            cache = state.cache
+            dyn = jax.lax.dynamic_update_index_in_dim
+            cache = cache._replace(
+                cross_k=dyn(cache.cross_k, ck[:, i], slot, 1),
+                cross_v=dyn(cache.cross_v, cv[:, i], slot, 1),
+                self_k=dyn(cache.self_k, zeros_k, slot, 1),
+                self_v=dyn(cache.self_v, zeros_k, slot, 1),
+            )
+            upd = lambda buf, val: dyn(buf, val, slot, 0)
+            state = state._replace(
+                cache=cache,
+                enc_mask=upd(state.enc_mask, attn_mask[i].astype(bool)),
+                spk=upd(state.spk, spk[i]),
+                prev_mel=upd(state.prev_mel, jnp.zeros((1, M), dt)),
+                pos=upd(state.pos, jnp.int32(0)),
+                stopped=upd(state.stopped, False),
+                active=upd(state.active, True),
+                mel_ctx=upd(state.mel_ctx,
+                            jnp.zeros((self.ecfg.pre_frames, M), dt)),
+            )
+        return state
 
     def _leave(self, state: TTSState, slot):
         upd = lambda buf, val: jax.lax.dynamic_update_index_in_dim(buf, val, slot, 0)
@@ -307,16 +326,20 @@ class TTSEngine:
     # -- public API -----------------------------------------------------------
 
     def warmup(self) -> None:
-        """Compile join/decode/vocode for every chunk size up front."""
-        done = []
-        self.start_session(
-            np.zeros(4, np.int32),
-            np.zeros(self.cfg.speaker_embedding_dim, np.float32),
-            lambda a: done.append(a is None),
-            max_frames=sum(self.ecfg.chunk_schedule),
-        )
-        while self.step():
-            pass
+        """Compile every join bucket + decode/vocode chunk size up front."""
+        for m in (1, 2, 4, 8):
+            if m > self.ecfg.batch_slots:
+                break
+            done = []
+            for _ in range(m):
+                self.start_session(
+                    np.zeros(4, np.int32),
+                    np.zeros(self.cfg.speaker_embedding_dim, np.float32),
+                    lambda a: done.append(a is None),
+                    max_frames=sum(self.ecfg.chunk_schedule),
+                )
+            while self.step():
+                pass
 
     def close(self) -> None:
         """Stop the async harvest thread (no-op in sync mode)."""
@@ -335,38 +358,52 @@ class TTSEngine:
         ``callback(audio_chunk | None)``: float32 mono at ``sample_rate``;
         ``None`` marks end-of-stream (reference EOS protocol,
         ``HelloSippyRTPipe.py:252-255``).
+
+        Joins are deferred to the next ``step()`` and batched (up to 8
+        encodes per dispatch) -- at call-churn rates per-join dispatches
+        would serialize with decode ticks and dominate TTFB.
         """
         with self._lock:
-            if not self.free_slots():
-                sid = self._next_sid
-                self._next_sid += 1
-                self._pending.append((sid, input_ids, speaker_emb, callback,
-                                      max_frames, time.monotonic()))
-                return sid
-            return self._start_session_locked(input_ids, speaker_emb, callback,
-                                              max_frames)
-
-    def _start_session_locked(self, input_ids, speaker_emb, callback,
-                              max_frames=None, sid=None) -> int:
-        free = self.free_slots()
-        slot = free[0]
-        S = self.ecfg.max_text_tokens
-        ids = np.zeros((1, S), np.int32)
-        mask = np.zeros((1, S), np.int32)
-        n = min(len(input_ids), S)
-        ids[0, :n] = input_ids[:n]
-        mask[0, :n] = 1
-        self.state = self._join_fn(
-            self.params, self.state, jnp.int32(slot), jnp.asarray(ids),
-            jnp.asarray(mask), jnp.asarray(speaker_emb[None].astype(np.float32)),
-        )
-        if sid is None:
             sid = self._next_sid
             self._next_sid += 1
-        sess = _Session(sid, slot, callback,
-                        max_frames or (self.ecfg.max_steps * self.cfg.reduction_factor))
-        self.sessions[slot] = sess
-        return sid
+            self._pending.append((sid, input_ids, speaker_emb, callback,
+                                  max_frames, time.monotonic()))
+            return sid
+
+    def _flush_joins_locked(self) -> None:
+        """Join as many queued sessions as free slots allow, in one
+        bucketed-batch dispatch (padding duplicates the last entry)."""
+        free = self.free_slots()
+        n = min(len(self._pending), len(free), 8)
+        if n == 0:
+            return
+        m = 1
+        while m < n:
+            m *= 2
+        S = self.ecfg.max_text_tokens
+        ids = np.zeros((m, S), np.int32)
+        mask = np.zeros((m, S), np.int32)
+        spk = np.zeros((m, self.cfg.speaker_embedding_dim), np.float32)
+        slots = np.zeros((m,), np.int32)
+        entries = [self._pending.popleft() for _ in range(n)]
+        now = time.monotonic()
+        for i in range(m):
+            sid, input_ids, speaker_emb, callback, max_frames, t_enq = \
+                entries[min(i, n - 1)]  # padding duplicates the last entry
+            k = min(len(input_ids), S)
+            ids[i, :k] = input_ids[:k]
+            mask[i, :k] = 1
+            spk[i] = speaker_emb
+            slots[i] = free[min(i, n - 1)]
+        self.state = self._join_fns[m](
+            self.params, self.state, jnp.asarray(slots), jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(spk))
+        for i in range(n):
+            sid, input_ids, speaker_emb, callback, max_frames, t_enq = entries[i]
+            metrics.observe("tts.queue_wait", now - t_enq)
+            self.sessions[free[i]] = _Session(
+                sid, free[i], callback,
+                max_frames or (self.ecfg.max_steps * self.cfg.reduction_factor))
 
     def abort_all(self, reason: str = "engine failure") -> None:
         """Supervision hook: flush EOS to every live and queued session and
@@ -456,7 +493,7 @@ class TTSEngine:
                 self._idle_cv.wait_for(lambda: self._inflight_n == 0,
                                        timeout=1.0)
             with self._lock:
-                return self.n_active > 0
+                return self.n_active > 0 or len(self._pending) > 0
         with self._idle_cv:
             self._inflight_n += 1
         self._hq.put(item)
@@ -486,7 +523,7 @@ class TTSEngine:
             if self._inflight is not None:
                 self._harvest(*self._inflight)
                 self._inflight = None
-            return self.n_active > 0
+            return self.n_active > 0 or len(self._pending) > 0
         # one-tick software pipeline: dispatch tick N, then harvest tick N-1
         # while the device computes -- the blocking fetch hides under this
         # tick's compute, so steady-state step time ~= device time
@@ -499,6 +536,7 @@ class TTSEngine:
     def _dispatch_locked(self):
         """Dispatch one tick; returns (bufs, n_frames, snapshot, paused) or
         None when no session is runnable."""
+        self._flush_joins_locked()
         runnable = [s for s in self.sessions if s is not None and not s.paused]
         if not runnable:
             return None
@@ -557,8 +595,5 @@ class TTSEngine:
                 sess.callback(None)
                 self.sessions[slot] = None
                 self.state = self._leave_fn(self.state, jnp.int32(slot))
-        while self._pending and self.free_slots():
-            sid, ids, spk, cb, mf, t_enq = self._pending.popleft()
-            metrics.observe("tts.queue_wait", time.monotonic() - t_enq)
-            self._start_session_locked(ids, spk, cb, mf, sid=sid)
+        # queued sessions join in a batched dispatch at the next step
         metrics.set("tts.active_slots", self.n_active)

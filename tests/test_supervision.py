@@ -102,12 +102,14 @@ def test_tts_driver_crash_flushes_eos_and_recovers():
 def test_tts_abort_flushes_queued_sessions():
     eng = _tts_engine()
     got = []
-    # fill both slots plus one queued
+    # fill both slots plus one queued (joins are deferred: one step joins
+    # the first two, the third stays queued)
     for i in range(3):
         eng.start_session(np.arange(2, 6, dtype=np.int32),
                           np.zeros(TTS_TINY.speaker_embedding_dim, np.float32),
                           lambda a, i=i: got.append((i, a is None)),
                           max_frames=16)
+    eng.step()
     assert len(eng._pending) == 1
     eng.abort_all("test")
     # every session -- live and queued -- got exactly one EOS

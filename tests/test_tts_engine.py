@@ -142,6 +142,10 @@ def test_slots_exhausted_queues(engine):
         cbs.append([])
         engine.start_session(np.array([2 + i], np.int32), spk,
                              cbs[-1].append, max_frames=8)
+    # joins are deferred+batched: all 5 queue, the first step joins 4 (the
+    # slot count) and the 5th waits for a free slot
+    assert len(engine._pending) == 5
+    engine.step()
     assert len(engine._pending) == 1
     while engine.step():
         pass
