@@ -98,8 +98,11 @@ def run_bench(n_sessions: int = 50, tiny: bool = True, seed: int = 42,
             bank.get(int(rng.integers(0, len(bank)))),
             cb, max_frames=max_frames)
 
-    while pending or engine.n_active:
-        while pending and engine.free_slots():
+    B = engine.ecfg.batch_slots
+    while pending or engine.n_active or engine._pending:
+        # joins are deferred+batched: throttle submissions to the slot
+        # count so queue_wait stays a join-latency metric, not an overload
+        while pending and engine.n_active + len(engine._pending) < B:
             start(pending.pop(0))
         if not engine.step() and not pending:
             break

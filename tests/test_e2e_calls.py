@@ -25,6 +25,7 @@ from infernos_tpu.media.udp import RTPPortAllocator, UdpServer
 from infernos_tpu.sip.message import SipURI
 from infernos_tpu.sip.stack import SIPStack
 from infernos_tpu.sip.ua import UAC, UAS
+from infernos_tpu.bench.phone import FakePhone as _FakePhone, FarEnd
 
 
 def _speechy(seconds, sr=8000, seed=0):
@@ -34,102 +35,13 @@ def _speechy(seconds, sr=8000, seed=0):
             * (1 + 0.2 * rng.standard_normal(len(t)))).astype(np.float32)
 
 
-class FakePhone:
-    """A scripted SIP+RTP endpoint playing caller audio and recording replies."""
+class FakePhone(_FakePhone):
+    """Shared scripted phone (infernos_tpu.bench.phone) + payload accessor
+    kept for these tests."""
 
-    def __init__(self):
-        self.codec = G711Codec()
-        self.rx_payloads = []
-        self.loop = asyncio.new_event_loop()
-        self._ready = threading.Event()
-        self.stack = None
-        self._thr = threading.Thread(target=self._run, daemon=True)
-        self._thr.start()
-        self._ready.wait(5.0)
-        self.rtp_sock = UdpServer(("127.0.0.1", 0), self._rtp_in)
-        self.remote_rtp = None
-
-    def _run(self):
-        asyncio.set_event_loop(self.loop)
-
-        async def boot():
-            self.stack = SIPStack(("127.0.0.1", 0))
-            await self.stack.start()
-            self._ready.set()
-
-        self.loop.run_until_complete(boot())
-        self.loop.run_forever()
-
-    def _rtp_in(self, data, addr, rtime):
-        try:
-            self.rx_payloads.append(RTPPacket.parse(data).payload)
-        except Exception:
-            pass
-
-    def call(self, dest, cld="100"):
-        self.uac = UAC(self.stack)
-        fut = asyncio.run_coroutine_threadsafe(
-            self.uac.invite_call(
-                SipURI(host=dest[0], port=dest[1]), cld=cld,
-                rtp_laddr=self.rtp_sock.laddr, codec=G711Codec, addr=dest,
-                cli="fakephone"),
-            self.loop)
-        params = fut.result(30.0)
-        self.remote_rtp = params.rtp_target
-        return params
-
-    def stream(self, audio, sr=8000):
-        """Send audio as paced 20 ms G.711 packets (real-time)."""
-        from infernos_tpu.media.rtp import RTPPacketizer
-
-        rs = RTPPacketizer(8000, 20)
-        for i in range(0, len(audio) - 159, 160):
-            payload = self.codec.encode(audio[i : i + 160])
-            self.rtp_sock.send_to(rs.next_pkt(160, 0, payload), self.remote_rtp)
-            time.sleep(0.02)
-
-    def stream_bg(self, audio, then_silence=True):
-        """Stream audio, then keep pumping silence (like a real phone) until
-        ``stop_streaming`` is called.  Returns the thread."""
-        self._streaming = True
-
-        def run():
-            from infernos_tpu.media.rtp import RTPPacketizer
-
-            rs = RTPPacketizer(8000, 20)
-            i = 0
-            silence = np.zeros(160, np.float32)
-            while self._streaming:
-                if i + 160 <= len(audio):
-                    frame = audio[i : i + 160]
-                    i += 160
-                elif then_silence:
-                    frame = silence
-                else:
-                    break
-                self.rtp_sock.send_to(
-                    rs.next_pkt(160, 0, self.codec.encode(frame)),
-                    self.remote_rtp)
-                time.sleep(0.02)
-
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
-        return t
-
-    def stop_streaming(self):
-        self._streaming = False
-
-    def rx_audio(self):
-        if not self.rx_payloads:
-            return np.zeros(0, np.float32)
-        return np.concatenate([self.codec.decode(p) for p in self.rx_payloads])
-
-    def hangup(self):
-        asyncio.run_coroutine_threadsafe(self.uac.bye(), self.loop).result(10.0)
-
-    def close(self):
-        self.rtp_sock.shutdown()
-        self.loop.call_soon_threadsafe(self.loop.stop)
+    @property
+    def rx_payloads(self):
+        return [RTPPacket.parse(d).payload for _, d in self.rx_packets]
 
 
 @pytest.fixture
@@ -226,56 +138,6 @@ def lt_cluster(tmp_path, request):
     handles = build_cluster(iconf, tiny=True, bind_ip="127.0.0.1")
     yield iconf, handles
     stop_all()
-
-
-class FarEnd:
-    """Auto-answering callee (plays the role of Bob's phone)."""
-
-    def __init__(self, port=15880):
-        self.codec = G711Codec()
-        self.rx_payloads = []
-        self.loop = asyncio.new_event_loop()
-        self._ready = threading.Event()
-        self.answered = threading.Event()
-        self.rtp_sock = UdpServer(("127.0.0.1", 0), self._rtp_in)
-        self.port = port
-        self._thr = threading.Thread(target=self._run, daemon=True)
-        self._thr.start()
-        self._ready.wait(5.0)
-
-    def _run(self):
-        asyncio.set_event_loop(self.loop)
-
-        async def boot():
-            self.stack = SIPStack(("127.0.0.1", self.port))
-            await self.stack.start()
-
-            def on_invite(msg, addr):
-                uas = UAS(self.stack, msg, addr)
-                params = uas.negotiate()
-                uas.accept(self.rtp_sock.laddr, params.codec)
-                self.answered.set()
-
-            self.stack.on_invite = on_invite
-            self._ready.set()
-
-        self.loop.run_until_complete(boot())
-        self.loop.run_forever()
-
-    def _rtp_in(self, data, addr, rtime):
-        try:
-            self.rx_payloads.append(RTPPacket.parse(data).payload)
-        except Exception:
-            pass
-
-    def rx_audio(self):
-        if not self.rx_payloads:
-            return np.zeros(0, np.float32)
-        return np.concatenate([self.codec.decode(p) for p in self.rx_payloads])
-
-    def close(self):
-        self.rtp_sock.shutdown()
-        self.loop.call_soon_threadsafe(self.loop.stop)
 
 
 @pytest.mark.e2e
