@@ -47,7 +47,7 @@ class LLMEngineConfig:
     # decode steps per device dispatch (lax.scan over the in-device AR
     # loop): amortizes host dispatch latency K-fold; sentence streaming
     # granularity becomes K tokens, invisible behind the >=10-char flush
-    steps_per_dispatch: int = 1
+    steps_per_dispatch: int = 4
 
 
 @dataclasses.dataclass

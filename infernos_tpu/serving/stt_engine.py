@@ -58,7 +58,11 @@ SOT_PREV_V3 = SPECIALS_V3.startofprev        # 50362 (v2's is 50361)
 
 @dataclasses.dataclass(frozen=True)
 class STTEngineConfig:
-    batch_slots: int = 8
+    # defaults follow the measured-best serving point (PERF.md round 2):
+    # 16 slots + int8 cross-KV + 8 decode steps/dispatch = 2.1x the round-1
+    # config on the same hardware (the reference batches 4 whole utterances,
+    # InfernSTTWorker.py:17)
+    batch_slots: int = 16
     # audio-length buckets; 30 s is whisper's encoder max (1500 positions,
     # models/whisper.py max_source_positions) -- the reference's 32 s request
     # bound (InfernSTTWorker.py:18) rides ct2's internal 30 s window the
@@ -80,17 +84,17 @@ class STTEngineConfig:
     # whisper vocabulary, nothing for tiny test vocabs.
     suppress_tokens: Optional[Sequence[int]] = None
     begin_suppress_tokens: Optional[Sequence[int]] = None
-    # int8 cross-K/V cache: ~4x less HBM per slot AND per decode step (the
-    # cross cache is the step's dominant memory traffic at large-v3) --
-    # enables wider slot counts at the 32 s bucket (NEXT.md item 2/3)
-    cross_kv_int8: bool = False
+    # int8 cross-K/V cache: ~2x less HBM per slot AND per decode step in
+    # bf16 serving (the cross cache is the step's dominant memory traffic at
+    # large-v3) -- enables 16 slots at the 30 s bucket (NEXT.md item 2/3)
+    cross_kv_int8: bool = True
     # decode steps per device dispatch (lax.scan): the AR feedback loop is
     # already in-device (done flags, frozen cur_tok), so chaining K steps
     # amortizes host dispatch latency K-fold -- the difference between
     # dispatch-bound and compute-bound decode on remote/tunneled chips, and
     # still strictly fewer host round trips locally.  Joins land between
     # dispatches (<= K-step added queueing for a new utterance).
-    steps_per_dispatch: int = 1
+    steps_per_dispatch: int = 8
 
     @property
     def max_total_tokens(self) -> int:
