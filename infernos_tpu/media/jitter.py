@@ -44,7 +44,18 @@ class JBFrame:
 
 
 class JitterBuffer:
-    """Sequence-reordering buffer of depth ``size`` packets."""
+    """Sequence-reordering buffer with ADAPTIVE depth.
+
+    ``size`` is the maximum reorder depth; the effective depth tracks the
+    observed reorder distance (decaying max, 0.995/packet), so on clean
+    streams a loss is declared after just ``min_size`` buffered packets
+    (~40 ms at 20 ms ptime) instead of ``size`` (~160 ms), while messy
+    networks still get the full absorption.  The adaptation is a pure
+    function of the packet sequence, so the C++ engine implements the
+    identical rule and stays byte-parity with this oracle.
+    """
+
+    min_size = 2
 
     def __init__(self, size: int = 8):
         self.size = size
@@ -56,6 +67,8 @@ class JitterBuffer:
         self._last_ts: Optional[int] = None  # ts of last released packet
         self._last_dur: int = 0  # payload samples of last released packet
         self.ssrc: Optional[int] = None
+        self._reorder_depth = 0.0  # decaying max of observed reorder distance
+        self._max_eseq: Optional[int] = None
 
     # -- sequence unwrapping -------------------------------------------------
     def _extend(self, seq: int) -> int:
@@ -88,12 +101,28 @@ class JitterBuffer:
             self.__init__(self.size)
             self.ssrc = pkt.ssrc
         eseq = self._extend(pkt.seq)
+        # adaptive depth bookkeeping (mirrored exactly in the C++ engine)
+        if self._max_eseq is None or eseq > self._max_eseq:
+            self._max_eseq = eseq
+        else:
+            dist = float(self._max_eseq - eseq)
+            if dist > self._reorder_depth:
+                self._reorder_depth = dist
+        self._reorder_depth *= 0.995
         if self._next_eseq is None:
             self._next_eseq = eseq
         if eseq < self._next_eseq or eseq in self._buf:
             return []  # late duplicate
         self._buf[eseq] = pkt
         return self._drain()
+
+    def _effective_size(self) -> int:
+        eff = int(self._reorder_depth) + 1
+        if eff < self.min_size:
+            eff = self.min_size
+        if eff > self.size:
+            eff = self.size
+        return eff
 
     def _drain(self) -> List[JBFrame]:
         out: List[JBFrame] = []
@@ -108,8 +137,9 @@ class JitterBuffer:
                 self._last_dur = self._pkt_samples(pkt)
                 self._next_eseq = nxt + 1
                 continue
-            # head missing: wait until the buffer exceeds reorder depth
-            if len(self._buf) < self.size:
+            # head missing: wait until the buffer exceeds the ADAPTIVE
+            # reorder depth (observed distance + 1, clamped [min_size, size])
+            if len(self._buf) < self._effective_size():
                 break
             first_avail = min(self._buf)
             first_pkt = self._buf[first_avail]

@@ -402,7 +402,7 @@ void rtp_skip(void *state, uint32_t npkts) {
 // ---------------------------------------------------------------------------
 
 struct JBuf {
-  int size;
+  int size;  // MAX reorder depth; effective depth adapts (see Python oracle)
   bool have_ssrc, have_base, have_last_ts;
   uint32_t ssrc;
   int64_t cycles;
@@ -410,6 +410,8 @@ struct JBuf {
   int64_t next_eseq;  // -1 = none
   uint32_t last_ts;
   int last_dur;
+  double reorder_depth;  // decaying max of observed reorder distance
+  int64_t max_eseq;      // -1 = none
   std::map<int64_t, std::vector<uint8_t>> buf;  // eseq -> parsed payload
   std::map<int64_t, std::pair<uint32_t, bool>> meta;  // eseq -> (ts, marker)
 };
@@ -422,6 +424,8 @@ void *jbuf_new(int size) {
   j->last_seq = -1;
   j->next_eseq = -1;
   j->last_dur = 0;
+  j->reorder_depth = 0.0;
+  j->max_eseq = -1;
   return j;
 }
 
@@ -514,9 +518,19 @@ int jbuf_udp_in(void *state, const uint8_t *data, int len, uint8_t *out,
     j->last_seq = -1;
     j->next_eseq = -1;
     j->have_last_ts = false;
+    j->reorder_depth = 0.0;
+    j->max_eseq = -1;
     j->ssrc = ssrc;
   }
   int64_t eseq = jb_extend(j, seq);
+  // adaptive depth bookkeeping (identical rule to the Python oracle)
+  if (j->max_eseq < 0 || eseq > j->max_eseq) {
+    j->max_eseq = eseq;
+  } else {
+    double dist = (double)(j->max_eseq - eseq);
+    if (dist > j->reorder_depth) j->reorder_depth = dist;
+  }
+  j->reorder_depth *= 0.995;
   if (j->next_eseq < 0) j->next_eseq = eseq;
   if (eseq < j->next_eseq || j->buf.count(eseq)) return 0;
   j->buf[eseq] = std::vector<uint8_t>(data + off, data + off + plen);
@@ -537,7 +551,12 @@ int jbuf_udp_in(void *state, const uint8_t *data, int len, uint8_t *out,
       j->next_eseq++;
       continue;
     }
-    if ((int)j->buf.size() < j->size) break;
+    {
+      int eff = (int)j->reorder_depth + 1;
+      if (eff < 2) eff = 2;
+      if (eff > j->size) eff = j->size;
+      if ((int)j->buf.size() < eff) break;
+    }
     int64_t first_avail = j->buf.begin()->first;
     uint32_t first_ts = j->meta[first_avail].first;
     uint32_t ts_diff;

@@ -197,3 +197,83 @@ def test_vad_signal_jingles():
             return np.fft.rfftfreq(len(tail), 1.0 / sr)[np.argmax(spec)]
 
         assert dom_freq(eng) > dom_freq(deng)
+
+
+def _mk_pkt(seq, ts, payload=b"\xff" * 160, ssrc=7):
+    from infernos_tpu.media.rtp import RTPPacket
+
+    import struct
+
+    hdr = struct.pack("!BBHII", 0x80, 0, seq & 0xFFFF, ts & 0xFFFFFFFF, ssrc)
+    return hdr + payload
+
+
+def test_adaptive_jitter_depth():
+    """Clean stream: a loss is declared after min_size (2) buffered packets,
+    not the max depth (8); after observed reorder, the depth grows."""
+    from infernos_tpu.media.jitter import JitterBuffer, RTPFrameType
+
+    jb = JitterBuffer(8)
+    out = []
+    for i in range(10):  # clean warm-up
+        out += jb.udp_in(_mk_pkt(i, i * 160))
+    assert all(f.type == RTPFrameType.AUDIO for f in out)
+    # drop seq 10; deliver 11, 12: ERS must fire at the 2nd buffered packet
+    assert jb.udp_in(_mk_pkt(11, 11 * 160)) == []
+    frames = jb.udp_in(_mk_pkt(12, 12 * 160))
+    assert frames and frames[0].type == RTPFrameType.ERS
+    assert frames[0].ts_diff == 160
+
+    # now teach it deep reorder: bursts arriving 5 packets out of order
+    jb2 = JitterBuffer(8)
+    seq = 0
+    for i in range(10):
+        jb2.udp_in(_mk_pkt(seq, seq * 160)); seq += 1
+    jb2.udp_in(_mk_pkt(seq + 5, (seq + 5) * 160))  # future packet first
+    for k in range(5):  # then the 5 it overtook
+        jb2.udp_in(_mk_pkt(seq + k, (seq + k) * 160))
+    seq += 6
+    # effective depth is now ~5-6 (observed distance 5, slight decay): a NEW
+    # gap must wait for >=5 buffered packets, not min_size=2
+    got = []
+    for k in range(1, 5):
+        got += jb2.udp_in(_mk_pkt(seq + k, (seq + k) * 160))
+    assert got == []  # only 4 buffered: still waiting
+    frames = []
+    for k in range(5, 8):
+        frames += jb2.udp_in(_mk_pkt(seq + k, (seq + k) * 160))
+        if frames:
+            break
+    assert frames and frames[0].type == RTPFrameType.ERS
+
+
+def test_adaptive_jitter_native_parity():
+    """The C++ jbuf implements the identical adaptive rule: same frame
+    sequence for a reorder+loss script."""
+    from infernos_tpu.media import native
+    from infernos_tpu.media.jitter import JitterBuffer
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    script = []
+    rng = np.random.default_rng(11)
+    seq = 0
+    while seq < 200:
+        if rng.random() < 0.08 and seq > 10:  # reorder a small burst
+            d = int(rng.integers(2, 6))
+            order = list(range(seq, seq + d))[::-1]
+            script += order
+            seq += d
+        elif rng.random() < 0.05:  # loss
+            seq += int(rng.integers(1, 3))
+        else:
+            script.append(seq)
+            seq += 1
+    py = JitterBuffer(8)
+    cc = native.NativeJitterBuffer(8)
+    for s in script:
+        data = _mk_pkt(s, s * 160)
+        fp = py.udp_in(data)
+        fc = cc.udp_in(data)
+        assert [(f.type.value, f.lseq, f.rtp_data, f.ts_diff) for f in fp] == \
+               [(f.type.value, f.lseq, f.rtp_data, f.ts_diff) for f in fc], s
