@@ -60,11 +60,11 @@ class AIAActor(Actor):
         self.llm_actr = llm_actr or spawn(LLMActor, tiny=self.tiny,
                                           name=f"llm:{self.profile.name}")
         if tts_actr is None:
-            self.tts_actr.ask_sync("start", self.profile.tts_lang, timeout=300)
+            self.tts_actr.ask_sync("start", self.profile.tts_lang, timeout=1200)
         if stt_actr is None:
-            self.stt_actr.ask_sync("start", timeout=300)
+            self.stt_actr.ask_sync("start", timeout=1200)
         if llm_actr is None:
-            self.llm_actr.ask_sync("start", timeout=600)
+            self.llm_actr.ask_sync("start", timeout=1200)
         log.info("AIAActor %s ready", self.profile.name)
 
     # -- session routing --------------------------------------------------------

@@ -48,14 +48,14 @@ class LTActor(Actor):
             for lang in self.profile.tts_langs:
                 h = spawn(TTSActor, tiny=self.tiny,
                           name=f"tts:{self.profile.name}:{lang}")
-                h.ask_sync("start", lang, timeout=300)
+                h.ask_sync("start", lang, timeout=1200)
                 self.tts_actrs[lang] = h
         if stt_actr is not None:
             self.stt_actr = stt_actr
         else:
             self.stt_actr = spawn(STTActor, tiny=self.tiny,
                                   name=f"stt:{self.profile.name}")
-            self.stt_actr.ask_sync("start", timeout=300)
+            self.stt_actr.ask_sync("start", timeout=1200)
         log.info("LTActor %s ready (langs %s)", self.profile.name,
                  self.profile.tts_langs)
 

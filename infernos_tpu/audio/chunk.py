@@ -89,6 +89,24 @@ class AudioChunk:
         with open(path, "rb") as f:
             return cls.from_wav_bytes(f.read(), **kw)
 
+    @classmethod
+    def from_url(cls, url: str, timeout: float = 10.0,
+                 _cache: dict = {}, **kw) -> "AudioChunk":
+        """Fetch + decode a WAV by URL (reference ``AudioChunkFromURL``,
+        ``Core/AudioChunk.py:49-57``).  Supports http(s) and ``file://``;
+        fetched bytes are cached per URL (the reference wraps the chunk in
+        ``ray.put`` for the same reuse).  Under zero egress this raises
+        ``URLError`` for remote hosts -- callers that need guaranteed-offline
+        signals synthesize them instead (``audio/signals.py``)."""
+        data = _cache.get(url)
+        if data is None:
+            import urllib.request
+
+            with urllib.request.urlopen(url, timeout=timeout) as r:
+                data = r.read()
+            _cache[url] = data
+        return cls.from_wav_bytes(data, **kw)
+
 
 @dataclass
 class VadAudioChunk(AudioChunk):

@@ -277,3 +277,40 @@ def test_adaptive_jitter_native_parity():
         fc = cc.udp_in(data)
         assert [(f.type.value, f.lseq, f.rtp_data, f.ts_diff) for f in fp] == \
                [(f.type.value, f.lseq, f.rtp_data, f.ts_diff) for f in fc], s
+
+
+def test_audio_chunk_from_url_local_http():
+    """from_url fetches + decodes a WAV (reference AudioChunkFromURL,
+    Core/AudioChunk.py:49-57) -- exercised against a localhost server so the
+    test runs under zero egress."""
+    import http.server
+    import threading
+
+    from infernos_tpu.audio.chunk import AudioChunk
+
+    tone = AudioChunk(
+        (0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(np.float32),
+        8000)
+    wav = tone.to_wav_bytes()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(wav)))
+            self.end_headers()
+            self.wfile.write(wav)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/engage.wav"
+        got = AudioChunk.from_url(url, track_id=2)
+        assert got.samplerate == 8000 and got.track_id == 2
+        assert np.abs(got.audio - tone.audio).max() < 1e-3
+        got2 = AudioChunk.from_url(url)  # cached fetch
+        assert len(got2.audio) == len(got.audio)
+    finally:
+        srv.shutdown()
