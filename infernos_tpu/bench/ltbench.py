@@ -144,6 +144,14 @@ def run_lt_bench(sip_bind, far_end: MultiFarEnd, n_calls: int = 4,
             crng = np.random.default_rng(seed + 1000 + pi)
             entry = far_end.calls[call_slot[pi]]
             for turn in range(turns):
+                # wait for B-leg quiescence (previous reply fully played)
+                # so 'first packet after end-of-speech' measures THIS turn
+                q_deadline = time.monotonic() + turn_timeout
+                while time.monotonic() < q_deadline:
+                    last = entry["rx"][-1][0] if entry["rx"] else 0.0
+                    if time.monotonic() - last > 0.6:
+                        break
+                    time.sleep(0.1)
                 utter = _utterance(crng, utter_s)
                 n_before = len(entry["rx"])
                 phone.stream_bg(utter, then_silence=True)

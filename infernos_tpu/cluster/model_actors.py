@@ -21,6 +21,7 @@ import uuid as uuid_mod
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..models import hifigan as hfg
 from ..models import presets
@@ -45,6 +46,34 @@ from .actors import Actor
 log = get_logger("cluster.models")
 
 
+def _serving_dtype():
+    """bf16 on TPU for full-dims engines (weights 2x smaller, MXU-native);
+    f32 elsewhere (CPU tests want exact golden numerics)."""
+    import jax as _jax
+
+    try:
+        return jnp.bfloat16 if _jax.devices()[0].platform == "tpu" else jnp.float32
+    except RuntimeError:
+        return jnp.float32
+
+
+def _cast_params(params, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype")
+        and jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+
+def _zeros_init(init_fn, dtype):
+    """Full-dims engines without a checkpoint initialize to zeros: weight
+    VALUES are irrelevant until real checkpoints are ported (PERF.md), and
+    zero-init allocates in milliseconds where full random init compiles an
+    RNG graph for minutes (same trick as bench.py)."""
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    return jax.jit(lambda: jax.tree_util.tree_map(
+        lambda sd: jnp.zeros(sd.shape, dtype if jnp.issubdtype(sd.dtype, jnp.floating) else sd.dtype),
+        shapes))()
+
+
 class TTSActor(Actor):
     def __init__(self, tiny: bool = True, seed: int = 0,
                  ecfg: Optional[TTSEngineConfig] = None,
@@ -62,13 +91,22 @@ class TTSActor(Actor):
         cfg = presets.SPEECHT5_TINY if self.tiny else presets.SPEECHT5_FULL
         voc = presets.HIFIGAN_TINY if self.tiny else presets.HIFIGAN_FULL
         k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
-        params = self._params or st5.init_params(k1, cfg)
-        voc_params = self._voc_params or hfg.init_params(k2, voc)
+        dtype = jnp.float32 if self.tiny else _serving_dtype()
+        if self.tiny:
+            params = self._params or st5.init_params(k1, cfg)
+            voc_params = self._voc_params or hfg.init_params(k2, voc)
+        else:
+            params = (_cast_params(self._params, dtype) if self._params is not None
+                      else _zeros_init(lambda k: st5.init_params(k, cfg), dtype))
+            voc_params = (_cast_params(self._voc_params, dtype)
+                          if self._voc_params is not None
+                          else _zeros_init(lambda k: hfg.init_params(k, voc), dtype))
         ecfg = self.ecfg or TTSEngineConfig(
             batch_slots=4 if self.tiny else 8,
             max_text_tokens=32 if self.tiny else 96,
             max_steps=64 if self.tiny else 512,
             stop_threshold=2.0,  # random weights never emit a stop token
+            dtype=dtype,
         )
         self.lang = lang
         self.tokenizer = CharTokenizer()
@@ -132,13 +170,20 @@ class STTActor(Actor):
 
     def start(self) -> None:
         cfg = presets.WHISPER_TINY_TEST if self.tiny else presets.WHISPER_LARGE_V3
-        params = self._params or wsp.init_params(jax.random.PRNGKey(self.seed), cfg)
         ecfg = self.ecfg or (
             STTEngineConfig(batch_slots=4, buckets_s=(2, 8),
                             max_new_tokens=8, max_prompt_tokens=8,
                             lang_tokens={"en": 10, "pt": 11}, task_transcribe=12,
                             task_translate=13, no_timestamps=14, no_speech=4)
-            if self.tiny else STTEngineConfig())
+            if self.tiny else STTEngineConfig(dtype=_serving_dtype()))
+        if self.tiny:
+            params = self._params or wsp.init_params(
+                jax.random.PRNGKey(self.seed), cfg)
+        else:
+            params = (_cast_params(self._params, ecfg.dtype)
+                      if self._params is not None
+                      else _zeros_init(lambda k: wsp.init_params(k, cfg),
+                                       ecfg.dtype))
         self.engine = STTEngine(params, cfg, ecfg)
         self.engine.warmup()
         self.driver = EngineDriver(self.engine, name="stt")
@@ -188,12 +233,25 @@ class LLMActor(Actor):
         self.tokenizer = ByteTokenizer()
 
     def start(self) -> None:
-        cfg = presets.QWEN_TINY if self.tiny else presets.QWEN25_14B
-        params = self._params or qwen.init_params(jax.random.PRNGKey(self.seed), cfg)
+        # full single-chip serving runs the 7B at int8 (8.7 GB weights; the
+        # reference's 14B target, Cluster/InfernLLMWorker.py:64, needs a
+        # tp mesh over a v5e-4 -- LLMEngine(mesh=...) + QWEN25_14B then)
+        cfg = presets.QWEN_TINY if self.tiny else presets.QWEN25_7B
         ecfg = self.ecfg or (
             LLMEngineConfig(batch_slots=2, prompt_buckets=(64, 128),
                             max_total_tokens=192, max_new_tokens=24)
-            if self.tiny else LLMEngineConfig())
+            if self.tiny else LLMEngineConfig(dtype=_serving_dtype()))
+        if self.tiny:
+            params = self._params or qwen.init_params(
+                jax.random.PRNGKey(self.seed), cfg)
+        else:
+            params = self._params
+            if params is None:
+                params = _zeros_init(lambda k: qwen.init_params(k, cfg),
+                                     ecfg.dtype)
+                from ..models import quant
+
+                params = jax.jit(lambda p: quant.quantize_params(p))(params)
         self.engine = LLMEngine(params, cfg, ecfg,
                                 detokenize=self.tokenizer.detokenize)
         self.engine.warmup()

@@ -19,6 +19,7 @@ legs' pending markers.
 
 from __future__ import annotations
 
+import atexit
 import ctypes
 import threading
 from typing import Callable, List, Optional, Tuple, Union
@@ -48,6 +49,23 @@ def shared_loop() -> "NativePacerLoop":
         if _loop is None:
             _loop = NativePacerLoop()
         return _loop
+
+
+def _close_shared_loop() -> None:
+    """atexit: join the native pacer thread BEFORE libc teardown -- a live
+    epoll thread during exit() intermittently aborts with
+    'terminate called ... FATAL: exception not rethrown'."""
+    global _loop
+    with _loop_lock:
+        if _loop is not None:
+            try:
+                _loop.close()
+            except Exception:
+                pass
+            _loop = None
+
+
+atexit.register(_close_shared_loop)
 
 
 class NativePacerLoop:

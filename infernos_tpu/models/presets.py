@@ -21,6 +21,13 @@ SPEECHT5_FULL = st5.SpeechT5Config()
 HIFIGAN_FULL = hfg.HifiGanConfig()
 WHISPER_LARGE_V3 = wsp.WhisperConfig()
 QWEN25_14B = qwen.QwenConfig()
+# Qwen2.5-7B-Instruct dims: the single-chip serving point (int8 weights
+# ~8.7 GB fit one v5e); the 14B target requires a tp mesh over a v5e-4
+QWEN25_7B = qwen.QwenConfig(
+    vocab_size=152064, hidden_size=3584, num_layers=28, num_heads=28,
+    num_kv_heads=4, head_dim=128, intermediate_size=18944,
+    rope_theta=1000000.0, max_positions=32768,
+)
 VAD_FULL = vad_m.VADConfig()
 
 # -- tiny (tests / smoke) -------------------------------------------------------

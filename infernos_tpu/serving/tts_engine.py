@@ -116,6 +116,9 @@ class TTSEngine:
             post_frames=0,
         )
         self.amd_cfg = acfg
+        if amd_params is not None:  # match the engine's activation dtype
+            amd_params = jax.tree_util.tree_map(
+                lambda x: x.astype(ecfg.dtype), amd_params)
         self.amd_params = amd_params
         B = ecfg.batch_slots
         # serializes engine-state mutation between the driver thread (step)
