@@ -138,7 +138,24 @@ def main() -> None:
         f.write(cfg_text)
         path = f.name
     iconf = InfernConfig(path)
-    build_cluster(iconf, tiny=not args.full, bind_ip="127.0.0.1")
+    stt_actr = None
+    if args.full:
+        # colocated attendant: the chip also carries the 7B-int8 LLM and
+        # full TTS, so the STT engine runs a smaller footprint (8 slots,
+        # <=16 s buckets: cross cache 0.4 GB instead of 2.9 GB)
+        import jax.numpy as jnp
+
+        from ..cluster.actors import spawn
+        from ..cluster.model_actors import STTActor
+        from ..serving.stt_engine import STTEngineConfig
+
+        stt_actr = spawn(STTActor, tiny=False,
+                         ecfg=STTEngineConfig(batch_slots=8, buckets_s=(8, 16),
+                                              dtype=jnp.bfloat16),
+                         name="stt:aia-bench")
+        stt_actr.ask_sync("start", timeout=1800)
+    build_cluster(iconf, tiny=not args.full, bind_ip="127.0.0.1",
+                  stt_actr=stt_actr)
     try:
         r = run_aia_bench(iconf.sip_conf.bind, n_calls=args.calls,
                           turns=args.turns)

@@ -237,21 +237,35 @@ class LLMActor(Actor):
         # reference's 14B target, Cluster/InfernLLMWorker.py:64, needs a
         # tp mesh over a v5e-4 -- LLMEngine(mesh=...) + QWEN25_14B then)
         cfg = presets.QWEN_TINY if self.tiny else presets.QWEN25_7B
+        # single-chip colocated serving (attendant shares the chip with
+        # STT+TTS): 4 slots x 1k context keeps the KV cache ~0.5 GB; the
+        # dedicated-chip / tp-mesh deployments pass an explicit ecfg
         ecfg = self.ecfg or (
             LLMEngineConfig(batch_slots=2, prompt_buckets=(64, 128),
                             max_total_tokens=192, max_new_tokens=24)
-            if self.tiny else LLMEngineConfig(dtype=_serving_dtype()))
+            if self.tiny else LLMEngineConfig(
+                batch_slots=4, prompt_buckets=(128, 256, 512),
+                max_total_tokens=1024, max_new_tokens=256,
+                dtype=_serving_dtype()))
         if self.tiny:
             params = self._params or qwen.init_params(
                 jax.random.PRNGKey(self.seed), cfg)
         else:
             params = self._params
             if params is None:
-                params = _zeros_init(lambda k: qwen.init_params(k, cfg),
-                                     ecfg.dtype)
+                # zeros-init DIRECTLY in the int8-quantized layout: a dense
+                # bf16 7B (15 GB) plus its quantized copy would OOM the chip
                 from ..models import quant
 
-                params = jax.jit(lambda p: quant.quantize_params(p))(params)
+                shapes = jax.eval_shape(
+                    lambda k: qwen.init_params(k, cfg), jax.random.PRNGKey(0))
+                qshapes = jax.eval_shape(quant.quantize_params, shapes)
+                dt = ecfg.dtype
+                params = jax.jit(lambda: jax.tree_util.tree_map(
+                    lambda sd: jnp.zeros(
+                        sd.shape,
+                        dt if jnp.issubdtype(sd.dtype, jnp.floating) else sd.dtype),
+                    qshapes))()
         self.engine = LLMEngine(params, cfg, ecfg,
                                 detokenize=self.tokenizer.detokenize)
         self.engine.warmup()

@@ -26,7 +26,8 @@ log = get_logger("main")
 
 def build_cluster(iconf: InfernConfig, tiny: bool = False,
                   bind_ip: Optional[str] = None,
-                  stt_actr: Optional[ActorHandle] = None) -> Dict[str, ActorHandle]:
+                  stt_actr: Optional[ActorHandle] = None,
+                  start_kwargs: Optional[dict] = None) -> Dict[str, ActorHandle]:
     """Spawn and wire the full actor graph from a validated config.
 
     ``stt_actr``: pre-existing STT actor handle -- typically a
@@ -66,7 +67,7 @@ def build_cluster(iconf: InfernConfig, tiny: bool = False,
     sip_actr.ask_sync("ready_check", timeout=30)
     for key, h in app_actors.items():
         h.ask_sync("start", h, sip_actr, rtp_actr, stt_actr=stt_actr,
-                   timeout=900)
+                   **(start_kwargs or {}), timeout=1800)
     return handles
 
 
