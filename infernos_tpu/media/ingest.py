@@ -139,13 +139,17 @@ class RTPInStream:
 
 
 def default_vad_factory(batch: int):
-    """Trained NeuralVAD when the in-repo checkpoint exists (the reference's
+    """Trained VAD when the in-repo checkpoint exists (the reference's
     Silero role, ``Core/VAD/SileroVAD.py:44-45``; ours is trained by
     ``tools/train_vad.py`` on synthetic telephone audio -- 98.8%% held-out
-    window accuracy vs 71.5%% for the energy heuristic), EnergyVAD otherwise."""
+    window accuracy vs 71.5%% for the energy heuristic), EnergyVAD otherwise.
+
+    Inference runs HOST-SIDE in numpy (``NumpyVAD``): the ring ticks every
+    96 ms, and dispatching a jit to a tunneled/remote TPU would cost more
+    than the tick itself, starving the whole media plane."""
     params = vad_m.load_pretrained()
     if params is not None:
-        return vad_m.NeuralVAD(params, vad_m.VADConfig(), batch)
+        return vad_m.NumpyVAD(params, vad_m.VADConfig(), batch)
     return vad_m.EnergyVAD(batch)
 
 

@@ -149,6 +149,73 @@ class NeuralVAD:
         )
 
 
+class NumpyVAD:
+    """Pure-numpy inference for the trained VAD (media-plane hot path).
+
+    The ingest ring ticks every 96 ms; a jitted forward would dispatch to
+    the DEFAULT jax backend -- on tunneled/remote TPUs that is one ~100+ ms
+    round trip per tick, which the media plane cannot absorb.  The net is
+    ~100k params, so host-side numpy runs it in well under a millisecond;
+    the device stays reserved for the big models.  Numerics match the JAX
+    path (parity-tested).
+    """
+
+    def __init__(self, params, cfg: VADConfig, batch: int):
+        self.cfg = cfg
+        self.batch = batch
+        g = lambda p: np.asarray(p, np.float32)
+        self.conv1_w = g(params["conv1"]["w"])  # [K, Cin, Cout]
+        self.conv1_b = g(params["conv1"]["b"])
+        self.conv2_w = g(params["conv2"]["w"])
+        self.conv2_b = g(params["conv2"]["b"])
+        self.lstm = [{k: g(v) for k, v in lp.items()} for lp in params["lstm"]]
+        self.head_w = g(params["head"]["w"])
+        self.head_b = g(params["head"].get("b", np.zeros(1)))
+        L_, H = cfg.lstm_layers, cfg.lstm_hidden
+        self.h = np.zeros((L_, batch, H), np.float32)
+        self.c = np.zeros((L_, batch, H), np.float32)
+        n = cfg.n_fft
+        self._hann = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+    @staticmethod
+    def _conv1d(x, w, b):
+        """x [B,F,Cin], w [3,Cin,Cout], pad 1."""
+        xp = np.pad(x, ((0, 0), (1, 1), (0, 0)))
+        y = (xp[:, :-2] @ w[0] + xp[:, 1:-1] @ w[1] + xp[:, 2:] @ w[2])
+        return y + b
+
+    def __call__(self, windows: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        B, W = windows.shape
+        n_frames = 1 + (W - cfg.n_fft) // cfg.hop
+        idx = (np.arange(cfg.n_fft)[None, :]
+               + cfg.hop * np.arange(n_frames)[:, None])
+        frames = windows[:, idx] * self._hann[None, None, :]
+        feat = np.log1p(np.abs(np.fft.rfft(frames, axis=-1))).astype(np.float32)
+        x = np.maximum(self._conv1d(feat, self.conv1_w, self.conv1_b), 0.0)
+        x = np.maximum(self._conv1d(x, self.conv2_w, self.conv2_b), 0.0)
+
+        def sig(v):
+            return 1.0 / (1.0 + np.exp(-v))
+
+        for li, lp in enumerate(self.lstm):
+            h, c = self.h[li], self.c[li]
+            ys = np.empty((B, x.shape[1], h.shape[-1]), np.float32)
+            for t in range(x.shape[1]):
+                gates = x[:, t] @ lp["wi"] + h @ lp["wh"] + lp["b"]
+                i, f, g_, o = np.split(gates, 4, axis=-1)
+                c = sig(f) * c + sig(i) * np.tanh(g_)
+                h = sig(o) * np.tanh(c)
+                ys[:, t] = h
+            self.h[li], self.c[li] = h, c
+            x = ys
+        return sig(x[:, -1] @ self.head_w + self.head_b)[:, 0]
+
+    def reset_channel(self, idx: int) -> None:
+        self.h[:, idx] = 0.0
+        self.c[:, idx] = 0.0
+
+
 class EnergyVAD:
     """Adaptive-energy VAD: deterministic, dependency-free, works untrained.
 

@@ -43,7 +43,9 @@ def test_default_factory_prefers_trained_neural():
     from infernos_tpu.media.ingest import default_vad_factory
 
     m = default_vad_factory(4)
-    assert isinstance(m, vad_m.NeuralVAD)
+    # host-side numpy inference of the trained net (never a device dispatch
+    # on the 96 ms media tick)
+    assert isinstance(m, vad_m.NumpyVAD)
 
 
 def test_trained_vad_beats_energy_on_held_out_mixtures():
@@ -103,3 +105,38 @@ def test_trained_vad_state_is_per_channel():
     # after the reset, channel 0 keeps its warmed-up trajectory
     assert outs.shape[1] == 2
     assert np.all(outs[:, 0] >= 0) and np.all(outs[:, 0] <= 1)
+
+
+def test_numpy_vad_matches_jax():
+    """The media-plane numpy inference must match the JAX forward (the
+    trained weights are shared; numerics parity within float tolerance)."""
+    from tools.synth_speech import make_example
+
+    cfg = vad_m.VADConfig()
+    rng = np.random.default_rng(99)
+    audio, _ = make_example(rng, 2.0, cfg.window)
+    n = len(audio) // cfg.window
+    ws = audio[: n * cfg.window].reshape(n, cfg.window)
+
+    nv = vad_m.NeuralVAD(params, cfg, batch=2)
+    npv = vad_m.NumpyVAD(params, cfg, batch=2)
+    for t in range(n):
+        both = np.stack([ws[t], ws[t] * 0.5])
+        pj = np.asarray(nv(both))
+        pn = npv(both)
+        assert np.abs(pj - pn).max() < 1e-3, (t, pj, pn)
+
+
+def test_numpy_vad_is_fast_enough_for_the_tick():
+    """One [8, 768] forward must run well inside the 96 ms media tick."""
+    import time
+
+    cfg = vad_m.VADConfig()
+    npv = vad_m.NumpyVAD(params, cfg, batch=8)
+    w = np.random.default_rng(0).standard_normal((8, cfg.window)).astype(np.float32)
+    npv(w)  # warm numpy caches
+    t0 = time.monotonic()
+    for _ in range(20):
+        npv(w)
+    per_tick_ms = (time.monotonic() - t0) / 20 * 1000
+    assert per_tick_ms < 30.0, per_tick_ms
