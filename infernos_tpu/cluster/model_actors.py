@@ -266,6 +266,19 @@ class LLMActor(Actor):
                         sd.shape,
                         dt if jnp.issubdtype(sd.dtype, jnp.floating) else sd.dtype),
                     qshapes))()
+                # all-zero weights collapse generation to token 0 forever,
+                # which detokenizes to an empty reply -- dead-ending every
+                # no-checkpoint serving bench.  Randomizing just the
+                # embedding + readout and unit-ing the final norm gives a
+                # varied token stream through the residual path at the cost
+                # of two RNG ops (full random init compiles for minutes).
+                k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
+                params["embed"]["w"] = (0.02 * jax.random.normal(
+                    k1, params["embed"]["w"].shape, dt))
+                params["ln_f"]["g"] = jnp.ones_like(params["ln_f"]["g"])
+                if "lm_head" in params:
+                    params["lm_head"]["w"] = (0.02 * jax.random.normal(
+                        k2, params["lm_head"]["w"].shape, dt))
         self.engine = LLMEngine(params, cfg, ecfg,
                                 detokenize=self.tokenizer.detokenize)
         self.engine.warmup()
