@@ -176,6 +176,7 @@ def main() -> None:
     # ramp up from 60% of the probe ceiling; if even that fails (the axon
     # tunnel's per-dispatch latency fluctuates ~2x between runs), back off
     # so a slow-tunnel run still reports the level it CAN serve
+    failed_at = None
     for f in (0.6, 0.75, 0.9, 0.95, 1.0):
         n = max(1, int(ceiling * f))
         r = run_level(n)
@@ -186,7 +187,15 @@ def main() -> None:
         if r.ok:
             best = r
         else:
+            failed_at = n
             break
+    if best is not None and failed_at is not None:
+        # refine the capacity boundary once at the midpoint
+        mid = (best.n_calls + failed_at) // 2
+        if mid > best.n_calls + 2:
+            r = run_level(mid)
+            if r.ok:
+                best = r
     if best is None:
         for f in (0.45, 0.3, 0.15):
             r = run_level(max(1, int(ceiling * f)))
