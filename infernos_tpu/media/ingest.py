@@ -23,9 +23,12 @@ from typing import Callable, Optional, Union
 from ..audio.chunk import AudioChunk
 from ..models import vad as vad_m
 from ..serving.vad_engine import VADChannel, VADWorker
+from ..utils.logging import get_logger
 from ..utils.threads import WrkThread
 from .jitter import RTPFrameType, make_jitter_buffer
 from .rtp import RTPParseError
+
+log = get_logger("media.ingest")
 
 
 @dataclass
@@ -172,7 +175,13 @@ class RTPIngest(WrkThread):
             wi = self.pkt_queue.get()
             if wi is None:
                 break
-            wi.stream._proc(wi, self.vad_worker)
+            # the ring is SHARED by every live call: one malformed stream
+            # (jbuf assert, codec error) must not kill the whole media plane
+            try:
+                wi.stream._proc(wi, self.vad_worker)
+            except Exception:
+                log.exception("ingest work item failed; stream %r continues",
+                              wi.stream)
 
     def on_stop(self) -> None:
         self.pkt_queue.put(None)

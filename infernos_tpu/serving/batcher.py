@@ -12,7 +12,11 @@ from __future__ import annotations
 import queue
 from typing import Any, Callable, List, Optional
 
+from ..utils.logging import get_logger
 from ..utils.threads import WrkThread
+
+
+log = get_logger("serving.batcher")
 
 
 class BatchedWorker(WrkThread):
@@ -54,7 +58,11 @@ class BatchedWorker(WrkThread):
             if self.proc_start_cb is not None:
                 for wi in batch:
                     self.proc_start_cb(wi)
-            self.process_batch(batch)
+            try:
+                self.process_batch(batch)
+            except Exception:
+                log.exception("%s process_batch failed; dropping batch of %d",
+                              self.name, len(batch))
 
     def process_batch(self, batch: List[Any]) -> None:  # override
         raise NotImplementedError
