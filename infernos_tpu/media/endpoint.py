@@ -50,6 +50,22 @@ class RTPEndpoint:
         self._writer_dest = params.rtp_target
         self.writer = self._make_writer(params)
         self.writer.start()
+        # RTCP on rtp_port+1 (beyond-reference; see media/rtcp.py)
+        self.rtcp = None
+        try:
+            from . import rtcp as rtcp_m
+            from .udp import UdpServer
+
+            self._rx_stats = rtcp_m.RxStats(clock_rate=codec.srate)
+            rtcp_sock = UdpServer((bind_ip, self.udp.laddr[1] + 1),
+                                  self._rtcp_received)
+            self.rtcp = rtcp_m.RTCPSession(rtcp_sock, self._rx_stats,
+                                           self._tx_stats)
+            if params.rtp_target is not None:
+                self.rtcp.target = (params.rtp_target[0],
+                                    params.rtp_target[1] + 1)
+        except OSError:
+            self._rx_stats = None  # port+1 taken: leg runs without RTCP
 
     def _make_writer(self, params: RTPParams):
         """Native single-loop pacer when built (SURVEY.md section 7 item 5);
@@ -70,8 +86,22 @@ class RTPEndpoint:
         return RTPOutputWorker(params.codec(), self._send_pkt,
                                ptime_ms=params.out_ptime)
 
+    def _rtcp_received(self, data: bytes, address, rtime: float) -> None:
+        if self.rtcp is not None:
+            self.rtcp.on_rtcp(data, address, rtime)
+
+    def _tx_stats(self):
+        """(pkt_count, octet_count, rtp_ts) for RTCP SRs, from either writer."""
+        w = self.writer
+        if hasattr(w, "stats"):  # native leg
+            st = w.stats()
+            return st["sent_pkts"], st["sent_bytes"], st["sent_bytes"]
+        return w.sent_pkts, w.sent_bytes, w.sent_bytes
+
     # -- rx ------------------------------------------------------------------
     def _rtp_received(self, data: bytes, address, rtime: float) -> None:
+        if self.rtcp is not None:
+            self._rx_stats.on_packet(data, rtime)
         if self.params.rtp_target is not None:
             # source-address filter: both host and port must match
             if (address[0] != self.params.rtp_target[0]
@@ -96,6 +126,10 @@ class RTPEndpoint:
                 and self._writer_dest != self.params.rtp_target):
             self.writer.set_dest(self.params.rtp_target)
             self._writer_dest = self.params.rtp_target
+        if (self.rtcp is not None and self.params.rtp_target is not None
+                and self.rtcp.target is None):
+            self.rtcp.target = (self.params.rtp_target[0],
+                                self.params.rtp_target[1] + 1)
         self.writer.soundout(chunk)
 
     # -- control -------------------------------------------------------------
@@ -113,6 +147,8 @@ class RTPEndpoint:
         elif params.rtp_target is not None and hasattr(self.writer, "set_dest"):
             self.writer.set_dest(params.rtp_target)  # native leg retarget
             self._writer_dest = params.rtp_target
+        if self.rtcp is not None and params.rtp_target is not None:
+            self.rtcp.target = (params.rtp_target[0], params.rtp_target[1] + 1)
         self.stream_in.stream_update()
 
     @property
@@ -120,6 +156,8 @@ class RTPEndpoint:
         return self.udp.laddr
 
     def shutdown(self) -> None:
+        if self.rtcp is not None:
+            self.rtcp.close()
         self.writer.end()
         self.udp.shutdown()
         self.stream_in.release()

@@ -38,6 +38,8 @@ class RTPOutputWorker(WrkThread):
         self.samplerate_out = codec.srate
         self.data_queue: "queue.Queue" = queue.Queue()
         self.debug = debug
+        self.sent_pkts = 0
+        self.sent_bytes = 0
         self.data_log: Optional[list] = None
 
     def set_datalog(self, path: str) -> None:
@@ -102,6 +104,8 @@ class RTPOutputWorker(WrkThread):
                 ptime += Fraction(out_fsize, self.samplerate_out)
                 etime = ctime - stime
                 pkt = rsynth.next_pkt(out_psize, out_pt, packet)
+                self.sent_pkts += 1
+                self.sent_bytes += out_psize
                 self.pkt_send(pkt)
                 if not self.should_run():
                     return
