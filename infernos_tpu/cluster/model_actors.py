@@ -17,6 +17,7 @@ mailbox serializes session bookkeeping while the engine free-runs.
 
 from __future__ import annotations
 
+import dataclasses
 import uuid as uuid_mod
 from typing import Callable, Dict, Optional
 
@@ -179,12 +180,25 @@ class STTActor(Actor):
         if self.tiny:
             params = self._params or wsp.init_params(
                 jax.random.PRNGKey(self.seed), cfg)
+            self.engine = STTEngine(params, cfg, ecfg)
         else:
             params = (_cast_params(self._params, ecfg.dtype)
                       if self._params is not None
                       else _zeros_init(lambda k: wsp.init_params(k, cfg),
                                        ecfg.dtype))
-        self.engine = STTEngine(params, cfg, ecfg)
+            if self.ecfg is not None:
+                self.engine = STTEngine(params, cfg, ecfg)
+            else:
+                # tiered serving: short utterances (the telephony common
+                # case) decode against short cross-caches -- measured 1.5x
+                # aggregate realtime vs one 30 s-capable engine (PERF.md)
+                from ..serving.stt_tiered import TieredSTTConfig, TieredSTTEngine
+
+                self.engine = TieredSTTEngine(
+                    params, cfg,
+                    TieredSTTConfig(short_max_s=8, short_slots=24,
+                                    long_slots=8, dtype=ecfg.dtype,
+                                    base=dataclasses.replace(ecfg)))
         self.engine.warmup()
         self.driver = EngineDriver(self.engine, name="stt")
         self.driver.start()
