@@ -202,6 +202,13 @@ def main() -> None:
             if r.ok:
                 best = r
                 break
+        if best is not None and failed_at is not None:
+            # climb back toward the failed level once
+            mid = (best.n_calls + failed_at) // 2
+            if mid > best.n_calls + 2:
+                r = run_level(mid)
+                if r.ok:
+                    best = r
 
     value = best.n_calls if best else 0
     result = {
