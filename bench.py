@@ -118,7 +118,7 @@ def main() -> None:
         dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
 
-    B = int(os.environ.get("BENCH_SLOTS", "16"))
+    B = int(os.environ.get("BENCH_SLOTS", "24"))
     utter_frames = int(os.environ.get("BENCH_UTTER", "96"))  # ~1.5 s audio
     duty = 0.5  # LT calls: TTS speaks <= half the time
     # Fixed 32-frame ticks: under continuous utterance churn an adaptive
