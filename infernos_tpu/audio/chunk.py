@@ -22,6 +22,34 @@ import numpy as np
 
 from .resample import resample as _resample
 
+_URL_CACHE_MAX = 64
+
+
+def _fetch_url_cached(url: str, timeout: float) -> bytes:
+    """Bounded LRU over fetched URL bytes; http/https/file only (a daemon
+    fed many distinct or hostile URLs must not grow memory or open
+    arbitrary schemes)."""
+    import urllib.parse
+    import urllib.request
+
+    scheme = urllib.parse.urlparse(url).scheme
+    if scheme not in ("http", "https", "file"):
+        raise ValueError(f"unsupported URL scheme: {scheme!r}")
+    cached = _url_cache.get(url)
+    if cached is not None:
+        _url_cache.pop(url)
+        _url_cache[url] = cached  # refresh LRU position
+        return cached
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        data = r.read()
+    _url_cache[url] = data
+    while len(_url_cache) > _URL_CACHE_MAX:
+        _url_cache.pop(next(iter(_url_cache)))
+    return data
+
+
+_url_cache: dict = {}
+
 
 @dataclass
 class AudioChunk:
@@ -90,22 +118,15 @@ class AudioChunk:
             return cls.from_wav_bytes(f.read(), **kw)
 
     @classmethod
-    def from_url(cls, url: str, timeout: float = 10.0,
-                 _cache: dict = {}, **kw) -> "AudioChunk":
+    def from_url(cls, url: str, timeout: float = 10.0, **kw) -> "AudioChunk":
         """Fetch + decode a WAV by URL (reference ``AudioChunkFromURL``,
-        ``Core/AudioChunk.py:49-57``).  Supports http(s) and ``file://``;
-        fetched bytes are cached per URL (the reference wraps the chunk in
-        ``ray.put`` for the same reuse).  Under zero egress this raises
-        ``URLError`` for remote hosts -- callers that need guaranteed-offline
-        signals synthesize them instead (``audio/signals.py``)."""
-        data = _cache.get(url)
-        if data is None:
-            import urllib.request
-
-            with urllib.request.urlopen(url, timeout=timeout) as r:
-                data = r.read()
-            _cache[url] = data
-        return cls.from_wav_bytes(data, **kw)
+        ``Core/AudioChunk.py:49-57``).  Schemes restricted to http/https/
+        file; fetched bytes are cached in a bounded LRU (the reference wraps
+        the chunk in ``ray.put`` for the same reuse).  Under zero egress this
+        raises ``URLError`` for remote hosts -- callers that need
+        guaranteed-offline signals synthesize them instead
+        (``audio/signals.py``)."""
+        return cls.from_wav_bytes(_fetch_url_cached(url, timeout), **kw)
 
 
 @dataclass

@@ -201,13 +201,14 @@ class NativeLegWriter:
                     log.exception("marker callback failed")
 
     def stats(self) -> dict:
-        out = (ctypes.c_uint64 * 9)()
+        out = (ctypes.c_uint64 * 10)()
         self.loop._lib.pacer_leg_stats(self.loop._p, self.leg_id, out)
         return {
             "sent_pkts": out[0], "skipped": out[1],
             "jit_le_500us": out[2], "jit_le_1ms": out[3],
             "jit_le_2ms": out[4], "jit_le_5ms": out[5], "jit_gt_5ms": out[6],
             "jit_max_ns": out[7], "sent_bytes": out[8],
+            "rtp_ts": out[9],
         }
 
     def buffered_bytes(self) -> int:

@@ -91,22 +91,29 @@ class RTPEndpoint:
             self.rtcp.on_rtcp(data, address, rtime)
 
     def _tx_stats(self):
-        """(pkt_count, octet_count, rtp_ts) for RTCP SRs, from either writer."""
+        """(pkt_count, octet_count, rtp_ts) for RTCP SRs, from either writer.
+
+        The third element is the packetizer's actual media-clock timestamp
+        (keeps advancing across idle skips), not a byte counter -- a byte
+        count is only coincidentally an RTP ts for G.711 and freezes during
+        silence, drifting the peer's NTP<->RTP mapping."""
         w = self.writer
         if hasattr(w, "stats"):  # native leg
             st = w.stats()
-            return st["sent_pkts"], st["sent_bytes"], st["sent_bytes"]
-        return w.sent_pkts, w.sent_bytes, w.sent_bytes
+            return st["sent_pkts"], st["sent_bytes"], st["rtp_ts"]
+        return w.sent_pkts, w.sent_bytes, w.rtp_ts
 
     # -- rx ------------------------------------------------------------------
     def _rtp_received(self, data: bytes, address, rtime: float) -> None:
-        if self.rtcp is not None:
-            self._rx_stats.on_packet(data, rtime)
         if self.params.rtp_target is not None:
             # source-address filter: both host and port must match
             if (address[0] != self.params.rtp_target[0]
                     or address[1] != self.params.rtp_target[1]):
                 return
+        # stats AFTER the source filter so stray/spoofed datagrams cannot
+        # pollute RTCP loss/jitter or latch a wrong SSRC
+        if self.rtcp is not None:
+            self._rx_stats.on_packet(data, rtime)
         self.stream_in.rtp_received(data, address, rtime)
 
     # -- tx ------------------------------------------------------------------

@@ -41,6 +41,15 @@ class RTPOutputWorker(WrkThread):
         self.sent_pkts = 0
         self.sent_bytes = 0
         self.data_log: Optional[list] = None
+        self._rsynth = None  # set in run(); exposes the media-clock ts
+
+    @property
+    def rtp_ts(self) -> int:
+        """Current RTP media-clock timestamp (advances across idle skips);
+        the correct third element of an RTCP SR, unlike byte counters which
+        freeze during silence and are codec-rate dependent."""
+        rs = self._rsynth
+        return rs.ts if rs is not None else 0
 
     def set_datalog(self, path: str) -> None:
         """Record all egress audio to a WAV at teardown (reference optional
@@ -63,6 +72,7 @@ class RTPOutputWorker(WrkThread):
         ptime = Fraction(0)
         stime: Optional[float] = None
         rsynth = make_packetizer(self.codec.crate, self.ptime_ms)
+        self._rsynth = rsynth
         qtimeout = Fraction(self.ptime_ms, 1000)
         # ~100 ms internal buffer rounded to frame size
         out_qsize = out_fsize * max(1, self.samplerate_out // 10 // out_fsize)

@@ -174,7 +174,19 @@ class RxStats:
         ts = struct.unpack("!I", data[4:8])[0]
         ssrc = struct.unpack("!I", data[8:12])[0]
         with self._lock:
-            self.ssrc = ssrc
+            if self.ssrc is None:
+                self.ssrc = ssrc  # latch first source
+            elif ssrc != self.ssrc:
+                # mid-stream SSRC change (peer restart): reset stats so the
+                # new stream's seq/jitter baseline is clean
+                self.ssrc = ssrc
+                self.base_seq = None
+                self.cycles = 0
+                self.received = 0
+                self.jitter = 0.0
+                self._last_transit = None
+                self._exp_prior = 0
+                self._rx_prior = 0
             if self.base_seq is None:
                 self.base_seq = seq
                 self.max_seq = seq

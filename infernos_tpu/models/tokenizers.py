@@ -60,3 +60,29 @@ class HFTokenizerAdapter:
 
     def detokenize(self, ids: Sequence[int]) -> str:
         return self.tok.decode(list(ids), skip_special_tokens=True)
+
+
+def load_tokenizer(path: str, special_tokens=None):
+    """Load a ported tokenizer directory with zero network.
+
+    Auto-detects the on-disk format a checkpoint port leaves behind:
+    ``vocab.json`` + ``merges.txt`` -> our byte-level BPE engine
+    (Whisper/Qwen/GPT-2 family, byte-exact with HF -- see
+    tests/test_tokenizers.py); ``spiece.model`` -> our SentencePiece
+    unigram reader (SpeechT5).  Raises FileNotFoundError when neither
+    layout is present.
+    """
+    import os
+
+    from .bpe import ByteLevelBPE
+    from .spm import load_spm_model
+
+    vj = os.path.join(path, "vocab.json")
+    mt = os.path.join(path, "merges.txt")
+    if os.path.exists(vj) and os.path.exists(mt):
+        return ByteLevelBPE.from_files(vj, mt, special_tokens=special_tokens)
+    sp = os.path.join(path, "spiece.model")
+    if os.path.exists(sp):
+        return load_spm_model(sp)
+    raise FileNotFoundError(
+        f"no tokenizer files (vocab.json+merges.txt or spiece.model) in {path}")

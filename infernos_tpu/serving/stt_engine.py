@@ -473,9 +473,11 @@ class STTEngine:
                 tok = int(nxt_np[i, k])
                 if tok != self.cfg.eos_token_id:
                     sess.tokens.append(tok)
-            hit_limit = (pos_np[i] - sess.prompt_len) >= self.ecfg.max_new_tokens
+            # cap on the tokens actually kept (a pos snapshot can lag one
+            # K-step dispatch); truncate to exactly max_new_tokens
+            hit_limit = len(sess.tokens) >= self.ecfg.max_new_tokens
             if finished or hit_limit:
-                del sess.tokens[self.ecfg.max_new_tokens + 1:]
+                del sess.tokens[self.ecfg.max_new_tokens:]
                 self._finish(i, sess)
 
     def _finish(self, slot: int, sess: _Slot) -> None:

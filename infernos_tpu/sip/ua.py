@@ -87,8 +87,7 @@ class _InDialogMixin:
 
     # -- session timer (RFC 4028 minimal) ---------------------------------------
     def _arm_session_timer(self, interval: float) -> None:
-        self._se_interval = max(float(interval), float(self.min_session_expires)) \
-            if interval >= self.min_session_expires else float(interval)
+        self._se_interval = max(float(interval), float(self.min_session_expires))
         self._touch_session_timer()
 
     def _touch_session_timer(self) -> None:
@@ -153,8 +152,7 @@ class UAS(_InDialogMixin):
         if se:
             try:
                 iv = int(se.split(";")[0].strip())
-                self.session_expires = max(iv, self.min_session_expires) \
-                    if iv >= self.min_session_expires else iv
+                self.session_expires = max(iv, self.min_session_expires)
             except ValueError:
                 pass
         # register dialog routes (with and without remote tag for ACK quirks)

@@ -829,14 +829,15 @@ uint64_t pacer_leg_buffered(void *vp, int leg) {
   return it == p->legs.end() ? 0 : it->second->buf.size();
 }
 
-// out[9]: sent_pkts, skipped, jit<=0.5ms, <=1ms, <=2ms, <=5ms, >5ms,
-//         jit_max_ns, sent_bytes
+// out[10]: sent_pkts, skipped, jit<=0.5ms, <=1ms, <=2ms, <=5ms, >5ms,
+//          jit_max_ns, sent_bytes, rtp_ts (current media-clock timestamp;
+//          advances across idle skips, so RTCP SR NTP<->RTP mapping holds)
 void pacer_leg_stats(void *vp, int leg, uint64_t *out) {
   Pacer *p = (Pacer *)vp;
   std::lock_guard<std::mutex> g(p->mu);
   auto it = p->legs.find(leg);
   if (it == p->legs.end()) {
-    memset(out, 0, 9 * sizeof(uint64_t));
+    memset(out, 0, 10 * sizeof(uint64_t));
     return;
   }
   PacerLeg *l = it->second;
@@ -849,6 +850,7 @@ void pacer_leg_stats(void *vp, int leg, uint64_t *out) {
   out[6] = l->jit_gt_5ms;
   out[7] = l->jit_max_ns;
   out[8] = l->sent_bytes;
+  out[9] = l->pkt.ts;
 }
 
 }  // extern "C"

@@ -1,0 +1,256 @@
+"""Train a tiny-but-real Whisper-config STT on the synthetic spoken
+language (tools/speechlang.py).
+
+The real whisper-large-v3 checkpoint (reference
+``Cluster/InfernSTTWorker.py:25``) is unfetchable offline; random weights
+make every e2e bench decode garbage (the 224-token artifact in PERF.md).
+This trains the SAME architecture code path (``models/whisper.py``) at tiny
+dims on (utterance, transcript) pairs with a real in-repo-trained BPE
+tokenizer, until greedy transcripts round-trip -- so EOS fires from data,
+loopback similarity is real, and turn latency is measured, not
+extrapolated (VERDICT r2 item 2).
+
+Writes to infernos_tpu/models/data/tiny_stt/:
+    params.npz, config.json, tokenizer/{vocab.json,merges.txt}
+
+Run:  python tools/train_tiny_stt.py [--steps 4000] [--eval-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from infernos_tpu.audio.mel import log_mel_np
+from infernos_tpu.models import whisper as wsp
+from infernos_tpu.models.bpe import ByteLevelBPE, train_bpe
+from infernos_tpu.models.npz_io import load_params, save_params
+from tools.speechlang import SR, make_utterance, transcript_corpus
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(HERE, "infernos_tpu", "models", "data", "tiny_stt")
+
+N_MELS = 80
+MAX_SECONDS = 5.0
+MAX_MEL_T = int(MAX_SECONDS * SR) // 160          # 500 frames
+MAX_TGT = 48
+
+# token layout: BPE merges first, then specials appended by train_bpe
+SPECIALS = ["<|sot|>", "<|eos|>", "<|nospeech|>", "<|pad|>"]
+
+
+def build_tokenizer() -> ByteLevelBPE:
+    corpus = transcript_corpus(3000, seed=7)
+    return train_bpe(corpus, vocab_size=370, special_tokens=SPECIALS)
+
+
+def tiny_config(tok: ByteLevelBPE) -> wsp.WhisperConfig:
+    return wsp.WhisperConfig(
+        vocab_size=tok.vocab_size, num_mel_bins=N_MELS, d_model=192,
+        encoder_layers=2, encoder_attention_heads=4, decoder_layers=2,
+        decoder_attention_heads=4, ffn_dim=512,
+        max_source_positions=MAX_MEL_T // 2, max_target_positions=64,
+        eos_token_id=tok.special["<|eos|>"],
+        sot_token_id=tok.special["<|sot|>"],
+        no_speech_token_id=tok.special["<|nospeech|>"])
+
+
+def make_example(rng: np.random.Generator, tok: ByteLevelBPE):
+    """(mel [M, T], token ids incl sot/eos)."""
+    sot, eos = tok.special["<|sot|>"], tok.special["<|eos|>"]
+    while True:
+        audio, text = make_utterance(rng, n_words=(2, 5))
+        if len(audio) <= int(MAX_SECONDS * SR) - 320:
+            break
+    mel = log_mel_np(audio, N_MELS)[0]
+    ids = ([sot] + tok.encode(text) + [eos])[:MAX_TGT]
+    return mel, ids
+
+
+def assemble(examples, tok: ByteLevelBPE):
+    """Pad a list of (mel, ids) into (mel [B,M,T], toks [B,L], mask [B,L])."""
+    pad = tok.special["<|pad|>"]
+    batch = len(examples)
+    mels = np.zeros((batch, N_MELS, MAX_MEL_T), np.float32)
+    toks = np.full((batch, MAX_TGT), pad, np.int32)
+    mask = np.zeros((batch, MAX_TGT), np.float32)
+    for i, (m, ids) in enumerate(examples):
+        mels[i, :, : m.shape[1]] = m
+        toks[i, : len(ids)] = ids
+        mask[i, 1 : len(ids)] = 1.0  # predict after sot, incl eos
+    return mels, toks, mask
+
+
+def make_batch(rng: np.random.Generator, tok: ByteLevelBPE, batch: int):
+    return assemble([make_example(rng, tok) for _ in range(batch)], tok)
+
+
+class DataServer:
+    """Replay buffer refilled by worker threads (scipy/numpy release the
+    GIL): training samples batches immediately while fresh augmented
+    examples stream in, so the jit step, not synthesis, sets the pace."""
+
+    def __init__(self, tok: ByteLevelBPE, seed: int, size: int = 2048,
+                 workers: int = 8):
+        import threading
+
+        self.tok = tok
+        self.size = size
+        self.buf: list = []
+        self.lock = threading.Lock()
+        self.stop = False
+        self.generated = 0
+        self.threads = [
+            threading.Thread(target=self._fill, args=(seed + 31 * i,),
+                             daemon=True)
+            for i in range(workers)]
+        for t in self.threads:
+            t.start()
+
+    def _fill(self, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        while not self.stop:
+            ex = make_example(rng, self.tok)
+            with self.lock:
+                if len(self.buf) < self.size:
+                    self.buf.append(ex)
+                else:
+                    self.buf[int(rng.integers(0, self.size))] = ex
+                self.generated += 1
+
+    def batch(self, rng: np.random.Generator, batch: int):
+        import time as _t
+
+        while True:
+            with self.lock:
+                if len(self.buf) >= max(batch, 256):
+                    idx = rng.integers(0, len(self.buf), size=batch)
+                    ex = [self.buf[i] for i in idx]
+                    break
+            _t.sleep(0.1)
+        return assemble(ex, self.tok)
+
+    def close(self) -> None:
+        self.stop = True
+
+
+def greedy_decode(params, cfg, tok, mel, max_new: int = 40):
+    """Simple batched greedy via full re-decode (tiny model; eval only)."""
+    B = mel.shape[0]
+    enc = wsp.encode(params, cfg, jnp.asarray(mel))
+    toks = np.full((B, 1), cfg.sot_token_id, np.int32)
+    done = np.zeros(B, bool)
+    for _ in range(max_new):
+        logits = wsp.decode_full(params, cfg, jnp.asarray(toks), enc)
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
+        nxt = np.where(done, cfg.eos_token_id, nxt)
+        toks = np.concatenate([toks, nxt[:, None].astype(np.int32)], axis=1)
+        done |= nxt == cfg.eos_token_id
+        if done.all():
+            break
+    outs = []
+    for row in toks:
+        ids = []
+        for t in row[1:]:
+            if t == cfg.eos_token_id:
+                break
+            ids.append(int(t))
+        outs.append(tok.decode(ids))
+    return outs
+
+
+def word_acc(hyps, refs) -> float:
+    ok = tot = 0
+    for h, r in zip(hyps, refs):
+        hw, rw = h.split(), r.split()
+        tot += len(rw)
+        ok += sum(1 for a, b in zip(hw, rw) if a == b)
+    return ok / max(1, tot)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+
+    tok = build_tokenizer()
+    cfg = tiny_config(tok)
+    rng = np.random.default_rng(a.seed)
+
+    if a.eval_only:
+        params = load_params(os.path.join(OUT, "params.npz"))
+        assert params is not None, f"no checkpoint at {OUT}"
+    else:
+        params = wsp.init_params(jax.random.PRNGKey(a.seed), cfg)
+        sched = optax.cosine_decay_schedule(a.lr, a.steps, alpha=0.05)
+        opt = optax.adamw(sched, weight_decay=1e-4)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, mel, toks, mask):
+            def loss_fn(p):
+                enc = wsp.encode(p, cfg, mel)
+                logits = wsp.decode_full(p, cfg, toks[:, :-1], enc)
+                tgt = toks[:, 1:]
+                lm = mask[:, 1:]
+                ll = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, tgt)
+                return (ll * lm).sum() / jnp.maximum(lm.sum(), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        t0 = time.time()
+        for step in range(a.steps):
+            mel, toks, mask = make_batch(rng, tok, a.batch)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(mel), jnp.asarray(toks),
+                jnp.asarray(mask))
+            if step % 100 == 0 or step == a.steps - 1:
+                print(f"step {step} loss {float(loss):.4f} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+
+        os.makedirs(os.path.join(OUT, "tokenizer"), exist_ok=True)
+        save_params(os.path.join(OUT, "params.npz"), params)
+        with open(os.path.join(OUT, "config.json"), "w") as f:
+            json.dump({k: getattr(cfg, k) for k in cfg.__dataclass_fields__},
+                      f, indent=2)
+        tok.save(os.path.join(OUT, "tokenizer", "vocab.json"),
+                 os.path.join(OUT, "tokenizer", "merges.txt"))
+        print(f"saved to {OUT}")
+
+    # held-out eval (fresh rng stream)
+    erng = np.random.default_rng(a.seed + 10_000)
+    mel, toks, _ = make_batch(erng, tok, 24)
+    refs = []
+    pad = tok.special["<|pad|>"]
+    for row in toks:
+        ids = [int(t) for t in row[1:]
+               if t not in (cfg.eos_token_id, pad)]
+        refs.append(tok.decode(ids))
+    hyps = greedy_decode(params, cfg, tok, mel)
+    acc = word_acc(hyps, refs)
+    print(f"held-out word accuracy: {acc:.3f}")
+    for h, r in list(zip(hyps, refs))[:4]:
+        print(f"  ref: {r!r}\n  hyp: {h!r}")
+
+
+if __name__ == "__main__":
+    main()
