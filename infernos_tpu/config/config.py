@@ -169,6 +169,13 @@ SCHEMA = {
             },
         },
     },
+    "metrics": {
+        "type": "dict",
+        "schema": {
+            "port": {"type": "integer"},  # /metrics HTTP endpoint
+            "bind": {"type": "string"},
+        },
+    },
     "apps": {
         "type": "dict",
         "schema": {
@@ -223,6 +230,9 @@ class InfernConfig:
             f"sip/{name}": SIPProfileConf.from_dict(name, conf)
             for name, conf in d.get("sip", {}).get("profiles", {}).items()
         }
+        m = d.get("metrics", {}) or {}
+        self.metrics_port: Optional[int] = m.get("port")
+        self.metrics_bind: str = m.get("bind", "127.0.0.1")
         self.apps: Dict[str, object] = {}
         apps = d.get("apps", {})
         self.precache = bool(apps.get("live_translator_precache", False))

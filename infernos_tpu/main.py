@@ -120,11 +120,24 @@ def main(argv: List[str]) -> int:
     build_cluster(iconf, tiny=tiny)
     log.info("infernos_tpu up; SIP on %s:%d", *iconf.sip_conf.bind)
 
+    # operator surface: /metrics endpoint (config `metrics: {port: N}` or
+    # INFERNOS_METRICS_PORT) + SIGUSR1 snapshot dump (always on)
+    from .utils.metrics_export import MetricsServer, install_sigusr1_dump
+
+    install_sigusr1_dump()
+    msrv = None
+    mport = iconf.metrics_port or int(
+        os.environ.get("INFERNOS_METRICS_PORT", 0) or 0)
+    if mport:
+        msrv = MetricsServer(port=mport, host=iconf.metrics_bind).start()
+
     stopper = threading.Event()
     signal.signal(signal.SIGTERM, lambda *a: stopper.set())
     signal.signal(signal.SIGINT, lambda *a: stopper.set())
     stopper.wait()
     log.info("shutting down")
+    if msrv is not None:
+        msrv.close()
     stop_all()
     return 0
 

@@ -74,6 +74,33 @@ def _xla_attention(q, k, v, mask_add):
     return jnp.einsum("bqk,bkd->bqd", w, v)
 
 
+# Reverse-mode AD support: the kernel is forward-only, so differentiate via
+# the mathematically identical XLA computation (recompute-in-backward).
+# In-repo training (tools/train_tiny_stt.py) backprops through the encoder;
+# serving never takes this path.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _pallas_attention_ad(q, k, v, mask_add, block_q, interpret):
+    return _pallas_attention(q, k, v, mask_add, block_q=block_q,
+                             interpret=interpret)
+
+
+def _pallas_attention_fwd(q, k, v, mask_add, block_q, interpret):
+    out = _pallas_attention(q, k, v, mask_add, block_q=block_q,
+                            interpret=interpret)
+    return out, (q, k, v, mask_add)
+
+
+def _pallas_attention_bwd(block_q, interpret, res, g):
+    q, k, v, mask_add = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, mask_add),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(mask_add)
+
+
+_pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def fused_attention(q, k, v, *, n_heads: int, mask: Optional[jnp.ndarray] = None,
                     block_q: int = 128, use_pallas: Optional[bool] = None,
                     interpret: bool = False):
@@ -110,8 +137,8 @@ def fused_attention(q, k, v, *, n_heads: int, mask: Optional[jnp.ndarray] = None
             vs = jnp.pad(vs, ((0, 0), (0, pad), (0, 0)))
             mask_bh = jnp.pad(mask_bh, ((0, 0), (0, pad)),
                               constant_values=NEG_INF)
-        out = _pallas_attention(qs, ks, vs, mask_bh, block_q=block_q,
-                                interpret=interpret)[:, :S]
+        out = _pallas_attention_ad(qs, ks, vs, mask_bh, block_q,
+                                   interpret)[:, :S]
     else:
         out = _xla_attention(qs, ks, vs, mask_bh)
     return (out.reshape(B, n_heads, S, Dh).transpose(0, 2, 1, 3)

@@ -319,8 +319,21 @@ class LLMEngine:
 
     def _finish(self, slot: int, s: _Slot) -> None:
         self.slots[slot] = None
-        if self._pending:
-            self._submit_locked(self._pending.popleft())
+        # per-item isolation: a poisoned queued request finishes alone
+        # (empty stream) instead of crashing the step for every slot
+        # (reference per-item retry, Cluster/InfernSTTWorker.py:66-72)
+        while self._pending:
+            nxt = self._pending.popleft()
+            try:
+                self._submit_locked(nxt)
+                break
+            except Exception:
+                log.exception("llm: quarantining poisoned queued request")
+                metrics.inc("llm.poisoned_requests")
+                try:
+                    _SentenceStreamer(self.detokenize, nxt.sentence_cb).finish()
+                except Exception:
+                    log.exception("llm poison EOS callback failed")
         metrics.observe("llm.gen_time", time.monotonic() - s.req.stime)
         metrics.inc("llm.tokens", s.new_tokens)
         s.streamer.finish()

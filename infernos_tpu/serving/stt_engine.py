@@ -46,6 +46,9 @@ from ..models.whisper_tokens import (  # noqa: E402
     WhisperSpecials, specials_for_vocab,
 )
 
+#: OpenAI whisper's escalating-temperature fallback ladder
+OPENAI_LADDER = (0.2, 0.4, 0.6, 0.8, 1.0)
+
 LANG_TOKENS_V3 = {code: LANG_BASE + i for i, code in enumerate(LANGUAGES)}
 TASK_TRANSCRIBE_V3 = SPECIALS_V3.transcribe  # 50360
 TASK_TRANSLATE_V3 = SPECIALS_V3.translate    # 50359
@@ -95,6 +98,18 @@ class STTEngineConfig:
     # still strictly fewer host round trips locally.  Joins land between
     # dispatches (<= K-step added queueing for a new utterance).
     steps_per_dispatch: int = 8
+    # decode-quality ladder (VERDICT r2 item 6; OpenAI whisper semantics):
+    # greedy stays the fast path; a finished utterance whose avg token
+    # logprob is below ``logprob_threshold`` or whose transcript zlib
+    # compression ratio exceeds ``compression_ratio_threshold`` (repetition
+    # loop) is re-decoded at escalating sampling temperatures.  Opt-in
+    # (default () = plain greedy, the reference's ct2 behavior,
+    # InfernSTTWorker.py:65): with untrained bench weights every utterance
+    # is "low confidence" and the ladder would multiply decode cost;
+    # OPENAI_LADDER is the standard setting once real weights serve.
+    fallback_temperatures: Sequence[float] = ()
+    logprob_threshold: float = -1.0
+    compression_ratio_threshold: float = 2.4
 
     @property
     def max_total_tokens(self) -> int:
@@ -127,6 +142,9 @@ class STTRequest:
     timestamps: bool = False  # reference Cluster/STTSession.py:17-20
     context: Optional[np.ndarray] = None  # previous token ids
     max_ns_prob: float = 0.5
+    # decode-quality ladder state (engine-managed)
+    temperature: float = 0.0
+    attempt: int = 0
 
 
 @dataclasses.dataclass
@@ -136,10 +154,14 @@ class STTResult:
     duration: float
     inf_time: float
     text: str = ""
+    avg_logprob: float = 0.0
+    compression_ratio: float = 0.0
+    temperature: float = 0.0  # temperature that produced this result
 
 
 class _Slot:
-    __slots__ = ("req", "tokens", "t_start", "prompt_len", "ns_prob")
+    __slots__ = ("req", "tokens", "t_start", "prompt_len", "ns_prob",
+                 "sum_logprob")
 
     def __init__(self, req, prompt_len, t_start):
         self.req = req
@@ -147,6 +169,7 @@ class _Slot:
         self.prompt_len = prompt_len
         self.t_start = t_start
         self.ns_prob = 0.0
+        self.sum_logprob = 0.0
 
 
 class STTEngine:
@@ -166,6 +189,9 @@ class STTEngine:
         self.pos = jnp.zeros((B,), jnp.int32)
         self.cur_tok = jnp.zeros((B,), jnp.int32)
         self.done = jnp.ones((B,), bool)
+        self.logp = jnp.zeros((B,), jnp.float32)   # sum of chosen-token lp
+        self.temp = jnp.zeros((B,), jnp.float32)   # 0 = greedy
+        self._seed = np.uint32(0)
         self.slots: List[Optional[_Slot]] = [None] * B
         self._lock = threading.RLock()
         self._inflight = None  # one-step pipelined harvest buffers
@@ -238,8 +264,9 @@ class STTEngine:
             else jnp.float32(0.0)
         return first_tok, ns_prob, ks, vs
 
-    def _join(self, params, cache, enc_mask, pos, cur_tok, done, slot,
-              enc_out, enc_len, self_k, self_v, prompt_len, first_tok):
+    def _join(self, params, cache, enc_mask, pos, cur_tok, done, logp, temp,
+              slot, enc_out, enc_len, self_k, self_v, prompt_len, first_tok,
+              slot_temp):
         """Write one prefilled session into ``slot`` (donated state)."""
         S = enc_out.shape[1]
 
@@ -272,31 +299,50 @@ class STTEngine:
         pos = jax.lax.dynamic_update_index_in_dim(pos, prompt_len, slot, 0)
         cur_tok = jax.lax.dynamic_update_index_in_dim(cur_tok, first_tok, slot, 0)
         done = jax.lax.dynamic_update_index_in_dim(done, False, slot, 0)
-        return cache, enc_mask, pos, cur_tok, done
+        logp = jax.lax.dynamic_update_index_in_dim(logp, 0.0, slot, 0)
+        temp = jax.lax.dynamic_update_index_in_dim(temp, slot_temp, slot, 0)
+        return cache, enc_mask, pos, cur_tok, done, logp, temp
 
-    def _step(self, params, cache, enc_mask, pos, cur_tok, done):
-        """K greedy steps for all slots in ONE dispatch (K =
-        ``steps_per_dispatch``).  Returns per-step tokens/done ``[B, K]``."""
+    def _step(self, params, cache, enc_mask, pos, cur_tok, done, logp, temp,
+              seed):
+        """K decode steps for all slots in ONE dispatch (K =
+        ``steps_per_dispatch``).  Greedy when a slot's ``temp`` is 0, else
+        Gumbel-max sampling at that temperature (the fallback ladder).
+        Accumulates each slot's chosen-token logprob (true, unscaled
+        distribution) for the quality gate.  Returns per-step tokens/done
+        ``[B, K]``."""
         sup = self._suppress_ids()
         sup_arr = jnp.asarray(sup) if sup else None
+        base_key = jax.random.PRNGKey(seed)
 
-        def one(carry, _):
-            cache, pos, cur_tok, done = carry
+        def one(carry, step_i):
+            cache, pos, cur_tok, done, logp = carry
             logits, cache = wsp.decode_step(params, self.cfg, cur_tok, cache,
                                             pos, enc_mask=enc_mask)
             if sup_arr is not None:
                 logits = logits.at[:, sup_arr].set(L.NEG_INF)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lf = logits.astype(jnp.float32)
+            greedy = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+            g = jax.random.gumbel(jax.random.fold_in(base_key, step_i),
+                                  lf.shape, jnp.float32)
+            sampled = jnp.argmax(
+                lf / jnp.maximum(temp, 1e-6)[:, None] + g, axis=-1
+            ).astype(jnp.int32)
+            nxt = jnp.where(temp > 0.0, sampled, greedy)
+            # chosen-token logprob under the TRUE distribution
+            lse = jax.nn.logsumexp(lf, axis=-1)
+            chosen = jnp.take_along_axis(lf, nxt[:, None], axis=-1)[:, 0] - lse
+            logp = jnp.where(done, logp, logp + chosen)
             is_eos = nxt == self.cfg.eos_token_id
             new_done = jnp.logical_or(done, is_eos)
             pos = jnp.where(done, pos, pos + 1)
             cur_tok = jnp.where(new_done, cur_tok, nxt)
-            return (cache, pos, cur_tok, new_done), (nxt, new_done)
+            return (cache, pos, cur_tok, new_done, logp), (nxt, new_done)
 
-        (cache, pos, cur_tok, done), (nxts, dones) = jax.lax.scan(
-            one, (cache, pos, cur_tok, done), None,
-            length=self.ecfg.steps_per_dispatch)
-        return cache, pos, cur_tok, done, nxts.T, dones.T
+        (cache, pos, cur_tok, done, logp), (nxts, dones) = jax.lax.scan(
+            one, (cache, pos, cur_tok, done, logp),
+            jnp.arange(self.ecfg.steps_per_dispatch))
+        return cache, pos, cur_tok, done, logp, nxts.T, dones.T
 
     # -- public API -----------------------------------------------------------
 
@@ -380,6 +426,8 @@ class STTEngine:
             self.pos = jnp.zeros_like(self.pos)
             self.cur_tok = jnp.zeros_like(self.cur_tok)
             self.done = jnp.ones_like(self.done)
+            self.logp = jnp.zeros_like(self.logp)
+            self.temp = jnp.zeros_like(self.temp)
         log.warning("stt engine abort (%s): flushing %d requests",
                     reason, len(victims))
         for req, t_start in victims:
@@ -423,10 +471,12 @@ class STTEngine:
             jnp.int32(sot_pos))
         first_tok, ns_prob = jax.device_get((first_tok_d, ns_prob_d))
         first_tok, ns_prob = int(first_tok), float(ns_prob)
-        (self.cache, self.enc_mask, self.pos, self.cur_tok, self.done) = self._join_fn(
+        (self.cache, self.enc_mask, self.pos, self.cur_tok, self.done,
+         self.logp, self.temp) = self._join_fn(
             self.params, self.cache, self.enc_mask, self.pos, self.cur_tok,
-            self.done, jnp.int32(slot), enc, jnp.int32(enc_len), sk, sv,
-            jnp.int32(len(prompt)), jnp.int32(first_tok),
+            self.done, self.logp, self.temp, jnp.int32(slot), enc,
+            jnp.int32(enc_len), sk, sv, jnp.int32(len(prompt)),
+            jnp.int32(first_tok), jnp.float32(req.temperature),
         )
         sess = _Slot(req, len(prompt), time.monotonic())
         if first_tok != self.cfg.eos_token_id:
@@ -447,20 +497,22 @@ class STTEngine:
                 self._inflight = None
                 return self.n_active > 0
             return False
-        (self.cache, self.pos, self.cur_tok, self.done, nxts, dones) = \
-            self._step_fn(self.params, self.cache, self.enc_mask, self.pos,
-                          self.cur_tok, self.done)
+        self._seed = np.uint32(self._seed + 1)
+        (self.cache, self.pos, self.cur_tok, self.done, self.logp, nxts,
+         dones) = self._step_fn(self.params, self.cache, self.enc_mask,
+                                self.pos, self.cur_tok, self.done, self.logp,
+                                self.temp, self._seed)
         # one-step software pipeline: dispatch step N, harvest step N-1 while
         # the device computes (the AR feedback loop lives in-device, so the
         # host fetch is pure bookkeeping and can lag one step)
         prev = self._inflight
-        self._inflight = ((nxts, dones, self.pos), list(self.slots))
+        self._inflight = ((nxts, dones, self.logp), list(self.slots))
         if prev is not None:
             self._harvest(*prev)
         return True
 
     def _harvest(self, bufs, snapshot) -> None:
-        nxt_np, done_np, pos_np = jax.device_get(bufs)  # [B,K], [B,K], [B]
+        nxt_np, done_np, logp_np = jax.device_get(bufs)  # [B,K],[B,K],[B]
         K = nxt_np.shape[1]
         for i, sess in enumerate(snapshot):
             if sess is None or self.slots[i] is not sess:
@@ -478,19 +530,43 @@ class STTEngine:
             hit_limit = len(sess.tokens) >= self.ecfg.max_new_tokens
             if finished or hit_limit:
                 del sess.tokens[self.ecfg.max_new_tokens:]
+                sess.sum_logprob = float(logp_np[i])
                 self._finish(i, sess)
+
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        b = text.encode("utf-8")
+        if len(b) < 16:
+            return 0.0  # too short to judge repetition
+        import zlib
+
+        return len(b) / len(zlib.compress(b))
+
+    def _needs_fallback(self, req: STTRequest, res: STTResult) -> bool:
+        """OpenAI whisper quality gate: retry at higher temperature on low
+        avg logprob or a repetition loop; silence is NOT retried."""
+        e = self.ecfg
+        if not e.fallback_temperatures:
+            return False
+        if req.attempt >= len(e.fallback_temperatures):
+            return False
+        if res.no_speech_prob > req.max_ns_prob:
+            return False  # treated as silence upstream; retry wastes a slot
+        if res.compression_ratio > e.compression_ratio_threshold:
+            return True
+        return res.avg_logprob < e.logprob_threshold
 
     def _finish(self, slot: int, sess: _Slot) -> None:
         self.slots[slot] = None
-        if self._pending:
-            self._submit_locked(self._pending.popleft())
         req = sess.req
         res = STTResult(
             tokens=sess.tokens,
             no_speech_prob=sess.ns_prob,
             duration=len(req.audio) / self.ecfg.sample_rate,
             inf_time=time.monotonic() - sess.t_start,
+            temperature=req.temperature,
         )
+        res.avg_logprob = sess.sum_logprob / max(1, len(sess.tokens))
         if req.timestamps and self.cfg.vocab_size >= V2_VOCAB:
             from ..models.whisper_tokens import decode_with_timestamps
             res.text = decode_with_timestamps(
@@ -498,6 +574,37 @@ class STTEngine:
                 specials_for_vocab(self.cfg.vocab_size))
         else:
             res.text = self.detokenize(res.tokens)
+        res.compression_ratio = self._compression_ratio(res.text)
+        retry = self._needs_fallback(req, res)
+        if retry:
+            # escalate: re-decode the same utterance at the next ladder
+            # temperature; the caller sees only the final result
+            req.temperature = self.ecfg.fallback_temperatures[req.attempt]
+            req.attempt += 1
+            metrics.inc("stt.fallback_retries")
+            log.info("stt fallback: avg_logprob %.2f cr %.2f -> retry @ T=%.1f",
+                     res.avg_logprob, res.compression_ratio, req.temperature)
+            self._pending.appendleft(req)
+        # per-item isolation (reference OOM->per-item retry,
+        # Cluster/InfernSTTWorker.py:66-72): a poisoned queued request fails
+        # alone with an empty result instead of crashing the step and
+        # aborting every concurrent utterance
+        while self._pending:
+            nxt = self._pending.popleft()
+            try:
+                self._submit_locked(nxt)
+                break
+            except Exception:
+                log.exception("stt: quarantining poisoned queued request")
+                metrics.inc("stt.poisoned_requests")
+                eres = STTResult(tokens=[], no_speech_prob=1.0,
+                                 duration=0.0, inf_time=0.0, text="")
+                try:
+                    nxt.text_cb(eres)
+                except Exception:
+                    log.exception("stt poison result callback failed")
+        if retry:
+            return
         metrics.observe("stt.inf_time", res.inf_time)
         metrics.observe("stt.audio_s", res.duration)
         req.text_cb(res)

@@ -380,15 +380,42 @@ class TTSEngine:
         n = min(len(self._pending), len(free), 8)
         if n == 0:
             return
+        S = self.ecfg.max_text_tokens
+        entries = [self._pending.popleft() for _ in range(n)]
+        # per-item isolation (reference OOM->per-item retry,
+        # Cluster/InfernSTTWorker.py:66-72): a poisoned request (bad
+        # ids/speaker shape) gets EOS alone instead of crashing the step
+        # and killing every concurrent session
+        ok_entries = []
+        for entry in entries:
+            sid, input_ids, speaker_emb, callback, max_frames, t_enq = entry
+            try:
+                ia = np.asarray(input_ids, np.int32).reshape(-1)[: 1 << 20]
+                sa = np.asarray(speaker_emb, np.float32).reshape(-1)
+                if sa.shape[0] != self.cfg.speaker_embedding_dim:
+                    raise ValueError(
+                        f"speaker dim {sa.shape[0]} != "
+                        f"{self.cfg.speaker_embedding_dim}")
+                ok_entries.append((sid, ia, sa, callback, max_frames, t_enq))
+            except Exception:
+                log.exception("tts join: quarantining poisoned session "
+                              "sid=%s", sid)
+                metrics.inc("tts.poisoned_sessions")
+                try:
+                    callback(None)
+                except Exception:
+                    log.exception("tts poison EOS callback failed")
+        entries = ok_entries
+        n = len(entries)
+        if n == 0:
+            return
         m = 1
         while m < n:
             m *= 2
-        S = self.ecfg.max_text_tokens
         ids = np.zeros((m, S), np.int32)
         mask = np.zeros((m, S), np.int32)
         spk = np.zeros((m, self.cfg.speaker_embedding_dim), np.float32)
         slots = np.zeros((m,), np.int32)
-        entries = [self._pending.popleft() for _ in range(n)]
         now = time.monotonic()
         for i in range(m):
             sid, input_ids, speaker_emb, callback, max_frames, t_enq = \

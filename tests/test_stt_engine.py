@@ -162,3 +162,68 @@ def test_multi_step_dispatch_matches_single():
     t1 = run(base)
     t4 = run(dc.replace(base, steps_per_dispatch=4))
     assert t1 == t4, (t1, t4)
+
+
+def test_temperature_fallback_triggers_and_recovers():
+    """VERDICT r2 item 6: on low avg-logprob the engine re-decodes at
+    escalating temperature; the caller sees exactly one (final) result.
+    Match: OpenAI ladder; reference default is greedy-only
+    (Cluster/InfernSTTWorker.py:65)."""
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    ecfg = STTEngineConfig(
+        batch_slots=2, buckets_s=(1,), sample_rate=16000,
+        max_new_tokens=8, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4,
+        # crafted trigger: avg_logprob is always <= 0, so a positive
+        # threshold marks every decode 'low confidence' and the gate fires
+        fallback_temperatures=(0.5, 1.0), logprob_threshold=1.0)
+    eng = STTEngine(params, TINY, ecfg)
+    results = []
+    req = STTRequest(audio=_audio(0.5), text_cb=results.append,
+                     max_ns_prob=1.1)  # never classified as silence
+    eng.submit(req)
+    steps = 0
+    while eng.step() and steps < 500:
+        steps += 1
+    assert len(results) == 1, "caller must see exactly one final result"
+    res = results[0]
+    # ladder exhausted: final result was produced at the LAST temperature
+    assert res.temperature == 1.0
+    assert req.attempt == 2
+    assert res.avg_logprob <= 0.0
+    from infernos_tpu.utils.metrics import metrics as _m
+    assert _m.counters.get("stt.fallback_retries", 0) >= 2
+
+
+def test_fallback_disabled_by_default():
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    ecfg = STTEngineConfig(
+        batch_slots=2, buckets_s=(1,), sample_rate=16000,
+        max_new_tokens=8, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4)
+    eng = STTEngine(params, TINY, ecfg)
+    results = []
+    req = STTRequest(audio=_audio(0.5), text_cb=results.append)
+    eng.submit(req)
+    while eng.step():
+        pass
+    assert len(results) == 1
+    assert results[0].temperature == 0.0 and req.attempt == 0
+
+
+def test_greedy_tokens_unchanged_by_logprob_tracking(engine):
+    """The logp/temp plumbing must not perturb greedy decode."""
+    res = []
+    engine.submit(STTRequest(audio=_audio(1.0, seed=42),
+                             text_cb=res.append))
+    while engine.step():
+        pass
+    res2 = []
+    engine.submit(STTRequest(audio=_audio(1.0, seed=42),
+                             text_cb=res2.append))
+    while engine.step():
+        pass
+    assert res[0].tokens == res2[0].tokens
+    assert res[0].avg_logprob == pytest.approx(res2[0].avg_logprob)

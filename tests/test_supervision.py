@@ -280,3 +280,80 @@ def test_batched_worker_survives_bad_batch():
         assert w.is_alive()
     finally:
         w.stop()
+
+
+def test_tts_poisoned_join_isolated_from_live_sessions():
+    """VERDICT r2 item 7: one poisoned session dies alone; concurrent
+    sessions' audio is uninterrupted (reference per-item retry,
+    Cluster/InfernSTTWorker.py:66-72)."""
+    eng = _tts_engine()
+    got = {}
+
+    def cb(i, a):
+        got.setdefault(i, []).append(a)
+
+    spk = np.zeros(TTS_TINY.speaker_embedding_dim, np.float32)
+    # one healthy session joins and starts streaming
+    eng.start_session(np.arange(2, 8, dtype=np.int32), spk,
+                      lambda a: cb(0, a), max_frames=16)
+    eng.step()
+    assert eng.n_active == 1
+    # a poisoned session (wrong speaker dim) + another healthy one queue up
+    eng.start_session(np.arange(2, 8, dtype=np.int32),
+                      np.zeros(3, np.float32),  # bad speaker dim
+                      lambda a: cb(1, a), max_frames=16)
+    eng.start_session(np.arange(2, 8, dtype=np.int32), spk,
+                      lambda a: cb(2, a), max_frames=16)
+    while eng.step():
+        pass
+    # poisoned session: exactly one EOS, no audio
+    assert got[1] == [None]
+    # both healthy sessions: audio then EOS, uninterrupted
+    for i in (0, 2):
+        assert got[i][-1] is None and len(got[i]) > 1, f"session {i} starved"
+
+
+def test_stt_poisoned_pending_isolated():
+    params = wsp.init_params(jax.random.PRNGKey(0), STT_TINY)
+    ecfg = STTEngineConfig(batch_slots=1, buckets_s=(1,), sample_rate=16000,
+                           max_new_tokens=4, max_prompt_tokens=8,
+                           lang_tokens={"en": 10}, task_transcribe=12,
+                           task_translate=13, no_timestamps=14, no_speech=4)
+    eng = STTEngine(params, STT_TINY, ecfg)
+    audio = (0.1 * np.random.default_rng(0)
+             .standard_normal(8000)).astype(np.float32)
+    results = {}
+
+    def mk(i):
+        return lambda r: results.setdefault(i, r)
+
+    eng.submit(STTRequest(audio=audio, text_cb=mk(0)))         # occupies slot
+    eng.submit(STTRequest(audio="not audio", text_cb=mk(1)))   # poisoned, queued
+    eng.submit(STTRequest(audio=audio, text_cb=mk(2)))         # healthy, queued
+    while eng.step():
+        pass
+    assert 0 in results and 2 in results, "healthy requests must complete"
+    assert results[1].tokens == [] and results[1].no_speech_prob == 1.0
+    assert results[0].inf_time >= 0 and results[2].inf_time >= 0
+
+
+def test_llm_poisoned_pending_isolated():
+    params = qwen.init_params(jax.random.PRNGKey(0), LLM_TINY)
+    ecfg = LLMEngineConfig(batch_slots=1, prompt_buckets=(16,),
+                           max_total_tokens=32, max_new_tokens=6)
+    eng = LLMEngine(params, LLM_TINY, ecfg, detokenize=_detok)
+    outs = {}
+
+    def mk(i):
+        return lambda s, fin: outs.setdefault(i, []).append((s, fin))
+
+    eng.submit(LLMRequest(prompt_ids=np.arange(3, 9, dtype=np.int32),
+                          sentence_cb=mk(0)))
+    eng.submit(LLMRequest(prompt_ids="garbage", sentence_cb=mk(1)))
+    eng.submit(LLMRequest(prompt_ids=np.arange(3, 9, dtype=np.int32),
+                          sentence_cb=mk(2)))
+    while eng.step():
+        pass
+    for i in (0, 2):
+        assert outs[i] and outs[i][-1][1] is True, f"request {i} stranded"
+    assert outs[1] == [("", True)], "poisoned request must fail alone"

@@ -217,15 +217,18 @@ def main() -> None:
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        server = DataServer(tok, seed=a.seed + 1)
         t0 = time.time()
         for step in range(a.steps):
-            mel, toks, mask = make_batch(rng, tok, a.batch)
+            mel, toks, mask = server.batch(rng, a.batch)
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(mel), jnp.asarray(toks),
                 jnp.asarray(mask))
             if step % 100 == 0 or step == a.steps - 1:
                 print(f"step {step} loss {float(loss):.4f} "
+                      f"buf {len(server.buf)} gen {server.generated} "
                       f"({time.time()-t0:.0f}s)", flush=True)
+        server.close()
 
         os.makedirs(os.path.join(OUT, "tokenizer"), exist_ok=True)
         save_params(os.path.join(OUT, "params.npz"), params)
