@@ -17,6 +17,22 @@ same calling conventions over a length-prefixed pickle protocol on TCP:
 - :class:`ActorHandle` arguments are proxied the same way, so a remote
   actor can call back into its peer's actors transparently.
 
+Reliability (VERDICT r2 item 8; the surface Ray's gRPC transport gives the
+reference for free):
+
+- **bounded send queue + backpressure**: frames go through a writer thread
+  with a bounded queue; producers block briefly under pressure, then the
+  link is declared dead (a peer that can't drain is indistinguishable from
+  a dead one on the media path).
+- **heartbeat / dead-peer detection**: periodic pings; a link with no
+  inbound traffic for ``dead_after`` seconds closes, failing its futures.
+- **fail-fast**: sends and callback stubs on a closed link raise
+  ``ConnectionError`` immediately -- callers EOS their sessions instead of
+  hanging.
+- **reconnect with re-registration**: :class:`PeerLink` supervises a
+  connection, redials with backoff, and fires ``on_down``/``on_up`` hooks
+  so owners can EOS stranded sessions and re-register state.
+
 Trust model: the plane is an intra-cluster transport (DCN between TPU
 hosts), like Ray's; it must only be bound to cluster-internal interfaces.
 Pickle is used deliberately for parity with Ray's cloudpickle semantics.
@@ -97,10 +113,16 @@ class _Unpickler(pickle.Unpickler):
 class Connection:
     """One bidirectional peer link: framing, callback tables, dispatch."""
 
-    def __init__(self, sock: socket.socket, name: str = "peer"):
+    def __init__(self, sock: socket.socket, name: str = "peer",
+                 on_close: Optional[Callable[["Connection"], None]] = None,
+                 send_queue: int = 4096, send_timeout: float = 5.0,
+                 heartbeat_s: float = 2.0, dead_after_s: float = 7.0):
+        import collections
+        import time as _time
+
         self.sock = sock
         self.name = name
-        self._wlock = threading.Lock()
+        self._on_close = on_close
         self._cbs: Dict[int, Callable] = {}
         self._cb_next = 1
         self._cb_lock = threading.Lock()
@@ -108,9 +130,36 @@ class Connection:
         self._fut_next = 1
         self._fut_lock = threading.Lock()
         self.closed = threading.Event()
+        self._close_once = threading.Lock()
+        self._close_fired = False
+        # bounded writer queue (backpressure): producers never touch the
+        # socket; a queue that stays full past send_timeout kills the link
+        self._sq: "collections.deque" = collections.deque()
+        self._sq_max = send_queue
+        self._sq_timeout = send_timeout
+        self._sq_cv = threading.Condition()
+        self.last_rx = _time.monotonic()
+        self._hb_interval = heartbeat_s
+        self._dead_after = dead_after_s
+        # dispatch runs OFF the reader thread: a slow handler (model spawn,
+        # heavy callback) must not stall frame reads or ping replies, or the
+        # heartbeat would declare a busy peer dead
+        self._dq: "collections.deque" = collections.deque()
+        self._dq_cv = threading.Condition()
         self._reader = threading.Thread(target=self._read_loop, daemon=True,
                                         name=f"remote:{name}")
+        self._writer = threading.Thread(target=self._write_loop, daemon=True,
+                                        name=f"remote-w:{name}")
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True,
+                                            name=f"remote-d:{name}")
         self._reader.start()
+        self._writer.start()
+        self._dispatcher.start()
+        if heartbeat_s > 0:
+            self._hb = threading.Thread(target=self._heartbeat_loop,
+                                        daemon=True, name=f"remote-hb:{name}")
+            self._hb.start()
 
     # -- callback table ---------------------------------------------------------
     def _register_callback(self, fn: Callable) -> int:
@@ -127,14 +176,68 @@ class Connection:
 
     # -- framing -----------------------------------------------------------------
     def _send(self, msg: Dict[str, Any]) -> None:
+        """Enqueue a frame for the writer thread.
+
+        Raises ``ConnectionError`` when the link is closed (fail fast, never
+        hang a session on a dead peer) or when backpressure persists past
+        ``send_timeout`` (the link is then closed: an undrainable peer is a
+        dead peer for real-time traffic)."""
+        if self.closed.is_set():
+            raise ConnectionError(f"link {self.name} is down")
         buf = io.BytesIO()
         _Pickler(buf, self).dump(msg)
-        data = buf.getvalue()
+        data = struct.pack("!I", buf.tell()) + buf.getvalue()
+        stuck = False
+        with self._sq_cv:
+            if len(self._sq) >= self._sq_max:
+                self._sq_cv.wait_for(
+                    lambda: len(self._sq) < self._sq_max
+                    or self.closed.is_set(), timeout=self._sq_timeout)
+                stuck = (len(self._sq) >= self._sq_max
+                         and not self.closed.is_set())
+            if not stuck:
+                if self.closed.is_set():
+                    raise ConnectionError(f"link {self.name} is down")
+                self._sq.append(data)
+                self._sq_cv.notify_all()
+        if stuck:
+            log.error("link %s: send queue stuck at %d frames; closing",
+                      self.name, self._sq_max)
+            self.close()
+            raise ConnectionError(f"link {self.name} backpressure overflow")
+
+    def _send_quiet(self, msg: Dict[str, Any]) -> None:
+        """Best-effort send for internal replies (no raise on closed)."""
         try:
-            with self._wlock:
-                self.sock.sendall(struct.pack("!I", len(data)) + data)
-        except OSError:
-            self.closed.set()
+            self._send(msg)
+        except (ConnectionError, OSError):
+            pass
+
+    def _write_loop(self) -> None:
+        while True:
+            with self._sq_cv:
+                self._sq_cv.wait_for(
+                    lambda: self._sq or self.closed.is_set())
+                if not self._sq and self.closed.is_set():
+                    return
+                data = self._sq.popleft()
+                self._sq_cv.notify_all()
+            try:
+                self.sock.sendall(data)
+            except OSError:
+                self.close()
+                return
+
+    def _heartbeat_loop(self) -> None:
+        import time as _time
+
+        while not self.closed.wait(self._hb_interval):
+            if _time.monotonic() - self.last_rx > self._dead_after:
+                log.warning("link %s: no traffic for %.1fs; declaring dead",
+                            self.name, self._dead_after)
+                self.close()
+                return
+            self._send_quiet({"op": "ping"})
 
     def _recv_exact(self, n: int) -> Optional[bytes]:
         out = b""
@@ -149,6 +252,8 @@ class Connection:
         return out
 
     def _read_loop(self) -> None:
+        import time as _time
+
         while not self.closed.is_set():
             hdr = self._recv_exact(4)
             if hdr is None:
@@ -157,22 +262,71 @@ class Connection:
             data = self._recv_exact(size)
             if data is None:
                 break
+            self.last_rx = _time.monotonic()
             try:
                 msg = _Unpickler(io.BytesIO(data), self).load()
+            except Exception:
+                log.exception("remote frame decode failed on %s", self.name)
+                continue
+            op = msg.get("op")
+            if op == "ping":  # liveness handled inline, never queued
+                self._send_quiet({"op": "pong"})
+            elif op == "pong":
+                pass
+            elif op == "result":
+                self._dispatch(msg)  # resolve futures promptly
+            else:
+                with self._dq_cv:
+                    self._dq.append(msg)
+                    self._dq_cv.notify()
+        self._finalize_close()
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            with self._dq_cv:
+                self._dq_cv.wait_for(
+                    lambda: self._dq or self.closed.is_set())
+                if not self._dq:
+                    if self.closed.is_set():
+                        return
+                    continue
+                msg = self._dq.popleft()
+            try:
                 self._dispatch(msg)
             except Exception:
                 log.exception("remote dispatch failed on %s", self.name)
+
+    def _finalize_close(self) -> None:
         self.closed.set()
+        with self._sq_cv:
+            self._sq_cv.notify_all()  # unblock writer + backpressured senders
+        with self._dq_cv:
+            self._dq_cv.notify_all()  # let the dispatcher drain and exit
         with self._fut_lock:
             futs = list(self._futures.values())
             self._futures.clear()
         for f in futs:
             if not f.done():
                 f.set_exception(ConnectionError("peer closed"))
+        fire = False
+        with self._close_once:
+            if not self._close_fired:
+                self._close_fired = True
+                fire = True
+        if fire and self._on_close is not None:
+            try:
+                self._on_close(self)
+            except Exception:
+                log.exception("on_close hook failed for %s", self.name)
 
     # -- dispatch ----------------------------------------------------------------
     def _dispatch(self, msg: Dict[str, Any]) -> None:
         op = msg["op"]
+        if op == "ping":
+            self._send_quiet({"op": "pong"})
+            return
+        if op == "pong":
+            return  # last_rx already refreshed by the read loop
         if op == "call":
             h = lookup(msg["actor"])
             if h is None:
@@ -183,18 +337,18 @@ class Connection:
             h = lookup(msg["actor"])
             rid = msg["id"]
             if h is None:
-                self._send({"op": "result", "id": rid, "ok": False,
-                            "error": f"unknown actor {msg['actor']!r}"})
+                self._send_quiet({"op": "result", "id": rid, "ok": False,
+                                  "error": f"unknown actor {msg['actor']!r}"})
                 return
             fut = h.ask(msg["method"], *msg["args"], **msg["kw"])
 
             def done(f, rid=rid):
                 try:
-                    self._send({"op": "result", "id": rid, "ok": True,
-                                "value": f.result()})
+                    self._send_quiet({"op": "result", "id": rid, "ok": True,
+                                      "value": f.result()})
                 except Exception as e:
-                    self._send({"op": "result", "id": rid, "ok": False,
-                                "error": repr(e)})
+                    self._send_quiet({"op": "result", "id": rid, "ok": False,
+                                      "error": repr(e)})
 
             fut.add_done_callback(done)
         elif op == "result":
@@ -220,8 +374,8 @@ class Connection:
             mod, cls = msg["cls"].rsplit(":", 1)
             h = spawn(getattr(importlib.import_module(mod), cls),
                       *msg["args"], name=msg["name"], **msg["kw"])
-            self._send({"op": "result", "id": msg["id"], "ok": True,
-                        "value": h.name})
+            self._send_quiet({"op": "result", "id": msg["id"], "ok": True,
+                              "value": h.name})
         elif op == "stop_actor":
             h = lookup(msg["actor"])
             if h is not None:
@@ -244,7 +398,7 @@ class Connection:
         return RemoteActorHandle(self, fut.result(timeout))
 
     def close(self) -> None:
-        self.closed.set()
+        self._finalize_close()
         try:
             self.sock.shutdown(socket.SHUT_RDWR)
         except OSError:
@@ -299,7 +453,14 @@ class ActorServer:
             except OSError:
                 break
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            self.conns.append(Connection(sock, name=f"{addr[0]}:{addr[1]}"))
+            self.conns.append(Connection(
+                sock, name=f"{addr[0]}:{addr[1]}", on_close=self._prune))
+
+    def _prune(self, conn: Connection) -> None:
+        try:
+            self.conns.remove(conn)
+        except ValueError:
+            pass
 
     def close(self) -> None:
         self._run = False
@@ -311,8 +472,143 @@ class ActorServer:
             c.close()
 
 
-def connect(addr: Tuple[str, int], timeout: float = 10.0) -> Connection:
+def connect(addr: Tuple[str, int], timeout: float = 10.0,
+            **conn_kw) -> Connection:
     sock = socket.create_connection(addr, timeout=timeout)
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     sock.settimeout(None)
-    return Connection(sock, name=f"{addr[0]}:{addr[1]}")
+    return Connection(sock, name=f"{addr[0]}:{addr[1]}", **conn_kw)
+
+
+class PeerLink:
+    """Supervised connection: redial with backoff, re-registration hooks.
+
+    ``on_down(link)`` fires the moment the current connection dies -- the
+    owner EOSes sessions that depended on it (fail fast, never hang).
+    ``on_up(link)`` fires after every successful (re)connect -- the owner
+    re-registers sessions/handles (callback tables are per-connection, so
+    state carried by stubs must be re-established).  ``link.handle(name)``
+    returns an actor handle that always routes through the CURRENT
+    connection and raises ``ConnectionError`` while the link is down.
+    """
+
+    def __init__(self, addr: Tuple[str, int],
+                 on_up: Optional[Callable[["PeerLink"], None]] = None,
+                 on_down: Optional[Callable[["PeerLink"], None]] = None,
+                 retry_min_s: float = 0.2, retry_max_s: float = 5.0,
+                 max_retries: Optional[int] = None, **conn_kw):
+        self.addr = addr
+        self.on_up = on_up
+        self.on_down = on_down
+        self.retry_min_s = retry_min_s
+        self.retry_max_s = retry_max_s
+        self.max_retries = max_retries
+        self._conn_kw = conn_kw
+        self._conn: Optional[Connection] = None
+        self._lock = threading.Lock()
+        self._closed = False
+        self._dial()  # initial connect failures raise to the creator
+        if self.on_up is not None:
+            self.on_up(self)
+
+    # -- connection management ------------------------------------------------
+    def _dial(self) -> None:
+        conn = connect(self.addr, on_close=self._conn_closed,
+                       **self._conn_kw)
+        with self._lock:
+            self._conn = conn
+
+    def _conn_closed(self, conn: Connection) -> None:
+        with self._lock:
+            if self._conn is not conn:
+                return  # stale
+            self._conn = None
+            if self._closed:
+                return
+        log.warning("peer link %s down; redialing", self.addr)
+        if self.on_down is not None:
+            try:
+                self.on_down(self)
+            except Exception:
+                log.exception("on_down hook failed")
+        threading.Thread(target=self._redial_loop, daemon=True,
+                         name=f"peerlink:{self.addr[0]}").start()
+
+    def _redial_loop(self) -> None:
+        import time as _time
+
+        delay = self.retry_min_s
+        attempt = 0
+        while not self._closed:
+            attempt += 1
+            if self.max_retries is not None and attempt > self.max_retries:
+                log.error("peer link %s: gave up after %d attempts",
+                          self.addr, self.max_retries)
+                return
+            try:
+                self._dial()
+            except OSError:
+                _time.sleep(delay)
+                delay = min(delay * 2, self.retry_max_s)
+                continue
+            log.info("peer link %s re-established (attempt %d)",
+                     self.addr, attempt)
+            if self.on_up is not None:
+                try:
+                    self.on_up(self)
+                except Exception:
+                    log.exception("on_up hook failed")
+            return
+
+    # -- surface ---------------------------------------------------------------
+    @property
+    def up(self) -> bool:
+        c = self._conn
+        return c is not None and not c.closed.is_set()
+
+    def conn(self) -> Connection:
+        c = self._conn
+        if c is None or c.closed.is_set():
+            raise ConnectionError(f"peer link {self.addr} is down")
+        return c
+
+    def handle(self, name: str) -> "LinkActorHandle":
+        return LinkActorHandle(self, name)
+
+    def spawn_remote(self, cls_path: str, *args, name: str,
+                     timeout: float = 300.0, **kw) -> "LinkActorHandle":
+        self.conn().spawn_remote(cls_path, *args, name=name,
+                                 timeout=timeout, **kw)
+        return self.handle(name)
+
+    def close(self) -> None:
+        self._closed = True
+        c = self._conn
+        if c is not None:
+            c.close()
+
+
+class LinkActorHandle:
+    """Actor handle routed through a :class:`PeerLink`'s live connection."""
+
+    def __init__(self, link: PeerLink, name: str):
+        self._link = link
+        self.name = name
+
+    def call(self, method: str, *args, **kw) -> None:
+        self._link.conn()._send({"op": "call", "actor": self.name,
+                                 "method": method, "args": args, "kw": kw})
+
+    def ask(self, method: str, *args, **kw) -> Future:
+        conn = self._link.conn()
+        rid, fut = conn.new_future()
+        conn._send({"op": "ask", "id": rid, "actor": self.name,
+                    "method": method, "args": args, "kw": kw})
+        return fut
+
+    def ask_sync(self, method: str, *args, timeout: Optional[float] = 30.0,
+                 **kw):
+        return self.ask(method, *args, **kw).result(timeout)
+
+    def stop(self) -> None:
+        self._link.conn()._send({"op": "stop_actor", "actor": self.name})
