@@ -79,10 +79,17 @@ class MultiFarEnd:
         with self._lock:
             return len(self.calls)
 
-    def close(self):
+    def close_calls(self, from_idx: int = 0) -> None:
+        """Release B-leg sockets of finished calls (levels would otherwise
+        accumulate hundreds of bound sockets across a ramp)."""
         with self._lock:
-            for c in self.calls:
-                c["sock"].shutdown()
+            for c in self.calls[from_idx:]:
+                sock = c.pop("sock", None)
+                if sock is not None:
+                    sock.shutdown()
+
+    def close(self):
+        self.close_calls(0)
         self.loop.call_soon_threadsafe(self.loop.stop)
 
 
@@ -199,6 +206,235 @@ def run_lt_bench(sip_bind, far_end: MultiFarEnd, n_calls: int = 4,
             p.close()
 
 
+# -- ramped fleet (VERDICT r2 item 1: the north-star metric) -----------------
+#
+# N concurrent two-leg calls with ONE shared SIP loop for every Alice and
+# ONE pacer thread streaming every A-leg (pre-encoded G.711 frames), so the
+# load generator stays lean enough to ramp into the dozens of calls on the
+# same host that serves them.  Match: the reference's only scale test is
+# the 48-pipe loopback QA fleet (Cluster/InfernBenchActor.py:236,257); this
+# ramps REAL calls instead.
+
+@dataclasses.dataclass
+class LTLevelResult:
+    n_calls: int
+    answered: int
+    turns_measured: int
+    turn_p50_s: float
+    turn_p95_s: float
+    failures: int
+    wall_s: float
+    ok: bool
+
+
+class _FleetCall:
+    __slots__ = ("phone", "entry", "frames", "silence", "fi", "state",
+                 "t_eos", "n_before", "deadline", "gap_until", "turns_left",
+                 "lats", "failures", "rng", "t0")
+
+    def __init__(self, phone, entry, turns, rng):
+        self.t0 = time.monotonic()
+        self.phone = phone
+        self.entry = entry
+        self.frames: List[bytes] = []
+        self.silence = b"\xff" * 160  # G.711 u-law silence payload
+        self.fi = 0
+        self.state = "quiesce"
+        self.t_eos = 0.0
+        self.n_before = 0
+        self.deadline = 0.0
+        self.gap_until = 0.0
+        self.turns_left = turns
+        self.lats: List[float] = []
+        self.failures = 0
+        self.rng = rng
+
+
+def _encode_frames(codec, audio: np.ndarray) -> List[bytes]:
+    out = []
+    for i in range(0, len(audio) - 159, 160):
+        out.append(codec.encode(audio[i : i + 160]))
+    return out
+
+
+def run_lt_level(sip_bind, far_end: MultiFarEnd, n_calls: int,
+                 turns: int = 2, utter_s: float = 1.6,
+                 turn_timeout: float = 20.0, sla_turn_s: float = 3.5,
+                 seed: int = 42) -> LTLevelResult:
+    """One ramp level: place n_calls, run the turn state machine for all
+    calls from a single pacer thread, tear down."""
+    import asyncio as _aio
+
+    codec = G711Codec()
+    rng = np.random.default_rng(seed)
+    t_level = time.monotonic()
+    first_idx = far_end.n_calls()
+
+    # one shared SIP loop/stack for every Alice
+    loop = _aio.new_event_loop()
+    ready = threading.Event()
+    stack_box = {}
+
+    def loop_main():
+        _aio.set_event_loop(loop)
+
+        async def boot():
+            stack_box["stack"] = SIPStack(("127.0.0.1", 0))
+            await stack_box["stack"].start()
+            ready.set()
+
+        loop.run_until_complete(boot())
+        loop.run_forever()
+
+    lt = threading.Thread(target=loop_main, daemon=True)
+    lt.start()
+    ready.wait(5.0)
+
+    calls: List[_FleetCall] = []
+    try:
+        for i in range(n_calls):
+            before = far_end.n_calls()
+            p = FakePhone(loop=loop, stack=stack_box["stack"])
+            try:
+                p.call(sip_bind, timeout=20.0)
+            except Exception:
+                p.close()
+                continue
+            deadline = time.monotonic() + 20.0
+            while far_end.n_calls() <= before and time.monotonic() < deadline:
+                time.sleep(0.02)
+            if far_end.n_calls() <= before:
+                p.close()
+                continue
+            crng = np.random.default_rng(seed + 1000 + i)
+            calls.append(_FleetCall(p, far_end.calls[before], turns, crng))
+        answered = len(calls)
+
+        # pre-encode each call's utterance frames once
+        for c in calls:
+            c.frames = _encode_frames(codec, _utterance(c.rng, utter_s))
+
+        # -- single pacer/state thread for the whole fleet -------------------
+        stop = threading.Event()
+
+        def fleet_loop():
+            next_t = time.monotonic()
+            while not stop.is_set():
+                now = time.monotonic()
+                done = 0
+                for c in calls:
+                    # pace: one frame per tick, always (silence keeps the
+                    # jitter buffer's lseq continuous and feeds VAD silence)
+                    if c.state == "speak" and c.fi < len(c.frames):
+                        payload = c.frames[c.fi]
+                        c.fi += 1
+                        if c.fi >= len(c.frames):
+                            c.state = "wait"
+                            c.t_eos = now
+                            c.deadline = now + turn_timeout
+                    else:
+                        payload = c.silence
+                    try:
+                        c.phone.rtp_sock.send_to(
+                            c.phone._packetizer.next_pkt(160, 0, payload),
+                            c.phone.remote_rtp)
+                    except OSError:
+                        pass
+                    # state transitions (cheap; same thread)
+                    if c.state == "quiesce":
+                        rx = c.entry["rx"]
+                        last = rx[-1][0] if rx else 0.0
+                        if c.turns_left == 0:
+                            c.state = "done"
+                        elif now - last > 0.6 or now - c.t0 > 30.0:
+                            c.state = "speak"
+                            c.fi = 0
+                            c.n_before = len(rx)
+                    elif c.state == "wait":
+                        got = None
+                        for (t, _d) in c.entry["rx"][c.n_before:]:
+                            if t >= c.t_eos:
+                                got = t
+                                break
+                        if got is not None:
+                            c.lats.append(got - c.t_eos)
+                            c.turns_left -= 1
+                            c.state = "gap"
+                            c.gap_until = now + 0.5 + 0.2 * c.rng.random()
+                        elif now > c.deadline:
+                            c.failures += 1
+                            c.turns_left -= 1
+                            c.state = "gap"
+                            c.gap_until = now + 0.2
+                    elif c.state == "gap":
+                        if now >= c.gap_until:
+                            c.state = "done" if c.turns_left == 0 else "quiesce"
+                            if c.state == "quiesce":
+                                # next turn gets fresh audio
+                                c.frames = _encode_frames(
+                                    codec, _utterance(c.rng, utter_s))
+                    if c.state == "done":
+                        done += 1
+                if done == len(calls):
+                    break
+                next_t += 0.02
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                elif delay < -1.0:
+                    next_t = time.monotonic()  # fell behind; resync
+
+        fl = threading.Thread(target=fleet_loop, daemon=True)
+        fl.start()
+        fl.join(timeout=30.0 + turns * (turn_timeout + utter_s + 2.0))
+        stop.set()
+
+        lats = sorted(x for c in calls for x in c.lats)
+        failures = sum(c.failures for c in calls)
+        p = lambda q: lats[min(len(lats) - 1, int(q * len(lats)))] if lats else 0.0
+        ok = (answered == n_calls and failures == 0 and len(lats) > 0
+              and p(0.95) <= sla_turn_s)
+        return LTLevelResult(
+            n_calls=n_calls, answered=answered, turns_measured=len(lats),
+            turn_p50_s=round(p(0.5), 3), turn_p95_s=round(p(0.95), 3),
+            failures=failures, wall_s=round(time.monotonic() - t_level, 1),
+            ok=ok)
+    finally:
+        for c in calls:
+            try:
+                c.phone.hangup()
+            except Exception:
+                pass
+        for c in calls:
+            c.phone.close()
+        far_end.close_calls(first_idx)
+        loop.call_soon_threadsafe(loop.stop)
+        time.sleep(1.0)  # let teardown drain before the next level
+
+
+def run_lt_ramp(sip_bind, far_end: MultiFarEnd, levels: List[int],
+                turns: int = 2, utter_s: float = 1.6,
+                sla_turn_s: float = 3.5, seed: int = 42):
+    """Ramp the fleet through ``levels`` until the SLA breaks; one retry
+    per failed level (tunnel variance)."""
+    results = []
+    best: Optional[LTLevelResult] = None
+    for n in levels:
+        r = run_lt_level(sip_bind, far_end, n, turns=turns, utter_s=utter_s,
+                         sla_turn_s=sla_turn_s, seed=seed)
+        results.append(r)
+        if not r.ok:
+            r = run_lt_level(sip_bind, far_end, n, turns=turns,
+                             utter_s=utter_s, sla_turn_s=sla_turn_s,
+                             seed=seed + 17)
+            results.append(r)
+        if r.ok:
+            best = r
+        else:
+            break
+    return best, results
+
+
 def main() -> None:
     import argparse
     import textwrap
@@ -213,6 +449,13 @@ def main() -> None:
     ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--turns", type=int, default=3)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--ramp", action="store_true",
+                    help="ramp N concurrent calls until the turn SLA breaks "
+                         "and report lt_calls_per_chip (the north-star)")
+    ap.add_argument("--levels", default="",
+                    help="comma-separated ramp ladder (default 4,8,...)")
+    ap.add_argument("--sla", type=float, default=3.5,
+                    help="p95 turn-latency SLA seconds")
     args = ap.parse_args()
 
     far = MultiFarEnd(port=15990)
@@ -243,11 +486,39 @@ def main() -> None:
         f.write(cfg_text)
         path = f.name
     iconf = InfernConfig(path)
+    import os
+
+    t0 = time.monotonic()
     build_cluster(iconf, tiny=not args.full, bind_ip="127.0.0.1")
+    startup_s = time.monotonic() - t0
     try:
-        r = run_lt_bench(iconf.sip_conf.bind, far, n_calls=args.calls,
-                         turns=args.turns)
-        print(json.dumps(dataclasses.asdict(r)))
+        if args.ramp:
+            if args.levels:
+                levels = [int(x) for x in args.levels.split(",")]
+            else:
+                levels = [int(x) for x in os.environ.get(
+                    "BENCH_LT_LEVELS", "4,8,16,24,32,48,64").split(",")]
+            best, results = run_lt_ramp(
+                iconf.sip_conf.bind, far, levels, turns=args.turns,
+                sla_turn_s=args.sla)
+            out = {
+                "metric": "lt_calls_per_chip",
+                "value": best.n_calls if best else 0,
+                "unit": f"concurrent two-leg LT calls "
+                        f"(p95 turn<{args.sla}s, 0 failed turns)",
+                "vs_baseline": round((best.n_calls if best else 0) / 50.0, 3),
+                "detail": {
+                    "turn_p50_s": best.turn_p50_s if best else None,
+                    "turn_p95_s": best.turn_p95_s if best else None,
+                    "startup_s": round(startup_s, 1),
+                    "levels": [dataclasses.asdict(r) for r in results],
+                },
+            }
+            print(json.dumps(out))
+        else:
+            r = run_lt_bench(iconf.sip_conf.bind, far, n_calls=args.calls,
+                             turns=args.turns)
+            print(json.dumps(dataclasses.asdict(r)))
     finally:
         stop_all()
         far.close()

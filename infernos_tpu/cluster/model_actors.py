@@ -102,8 +102,14 @@ class TTSActor(Actor):
             voc_params = (_cast_params(self._voc_params, dtype)
                           if self._voc_params is not None
                           else _zeros_init(lambda k: hfg.init_params(k, voc), dtype))
+        import os as _os
+
         ecfg = self.ecfg or TTSEngineConfig(
-            batch_slots=4 if self.tiny else 8,
+            # INFERNOS_TTS_SLOTS: call-ramp benches widen slots (24 measured
+            # best at 32-frame ticks, PERF.md round 2); 8 is the reference's
+            # worker batch (Cluster/InfernTTSWorker.py:57)
+            batch_slots=4 if self.tiny else int(
+                _os.environ.get("INFERNOS_TTS_SLOTS", "8")),
             max_text_tokens=32 if self.tiny else 96,
             max_steps=64 if self.tiny else 512,
             stop_threshold=2.0,  # random weights never emit a stop token
@@ -170,6 +176,8 @@ class STTActor(Actor):
         self.driver: Optional[EngineDriver] = None
 
     def start(self) -> None:
+        import os
+
         cfg = presets.WHISPER_TINY_TEST if self.tiny else presets.WHISPER_LARGE_V3
         ecfg = self.ecfg or (
             STTEngineConfig(batch_slots=4, buckets_s=(2, 8),
@@ -177,6 +185,14 @@ class STTActor(Actor):
                             lang_tokens={"en": 10, "pt": 11}, task_transcribe=12,
                             task_translate=13, no_timestamps=14, no_speech=4)
             if self.tiny else STTEngineConfig(dtype=_serving_dtype()))
+        # INFERNOS_STT_MAX_NEW: decode-length cap.  Benches with random
+        # weights set a representative cap (real transcripts of telephony
+        # utterances are 10-30 tokens) because zero-logit argmax never emits
+        # EOS and would burn the full 224-token budget per utterance
+        # (PERF.md round-2 garbage-decode artifact).
+        cap = os.environ.get("INFERNOS_STT_MAX_NEW")
+        if cap and self.ecfg is None:
+            ecfg = dataclasses.replace(ecfg, max_new_tokens=int(cap))
         if self.tiny:
             params = self._params or wsp.init_params(
                 jax.random.PRNGKey(self.seed), cfg)

@@ -26,20 +26,24 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 SR = 16000
-LETTER_DUR = 0.085   # seconds per letter gesture (before rate scaling)
+LETTER_DUR = 0.095   # seconds per letter gesture (before rate scaling)
 LETTER_GAP = 0.012
 WORD_GAP = 0.11
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
-# (F1, F2) grid: 7 F1 x 4 F2 = 28 slots, telephone-band safe
-_F1S = [330, 430, 530, 630, 730, 830, 930]
-_F2S = [1150, 1750, 2350, 2950]
+# (F1, F2) grid: 5 F1 x 6 F2 = 30 slots, telephone-band safe.  F1 spacing
+# (150 Hz) is ~2x the resonator bandwidth and close to the speaker f0
+# ceiling, so adjacent slots stay separable; vibrato (below) smears
+# harmonics across the resonance so the formant, not the harmonic comb,
+# dominates the time-averaged spectrum.
+_F1S = [280, 420, 560, 700, 840]
+_F2S = [1250, 1600, 2000, 2450, 2950, 3300]
 
 
 def letter_formants(ch: str) -> Tuple[float, float]:
     i = ALPHABET.index(ch)
-    return float(_F1S[i % 7]), float(_F2S[i // 7])
+    return float(_F1S[i % 5]), float(_F2S[i // 5])
 
 
 @dataclass
@@ -51,7 +55,10 @@ class Speaker:
 
     @classmethod
     def random(cls, rng: np.random.Generator) -> "Speaker":
-        return cls(f0=float(rng.uniform(90, 260)),
+        # f0 capped at 170 Hz: harmonics must sample each 120 Hz-spaced F1
+        # slot (higher f0 quantizes formant peaks to the harmonic comb and
+        # letters become ambiguous)
+        return cls(f0=float(rng.uniform(85, 170)),
                    rate=float(rng.uniform(0.85, 1.2)),
                    breathiness=float(rng.uniform(0.0, 0.08)),
                    tilt=float(rng.uniform(0.7, 1.0)))
@@ -74,18 +81,22 @@ def render_letter(rng: np.random.Generator, ch: str, spk: Speaker
     """One vowel-like gesture for a letter."""
     dur = LETTER_DUR * spk.rate * rng.uniform(0.9, 1.12)
     n = int(dur * SR)
-    # glottal source: decaying harmonics at f0 with jitter
+    # glottal source: decaying harmonics at f0 with jitter + 5 Hz vibrato
+    # (vibrato sweeps harmonics through the resonances, so the time-averaged
+    # spectrum shows the FORMANT, not the harmonic comb)
     f0 = spk.f0 * rng.uniform(0.96, 1.04)
+    t = np.arange(n) / SR
+    vib = 1.0 + 0.03 * np.sin(2 * np.pi * 5.0 * t + rng.uniform(0, 6.28))
     drift = 1.0 + 0.01 * np.cumsum(rng.standard_normal(n)) / np.sqrt(n)
-    phase = np.cumsum(2 * np.pi * f0 * drift / SR)
+    phase = np.cumsum(2 * np.pi * f0 * vib * drift / SR)
     src = np.zeros(n, np.float32)
     for h in range(1, 10):
         src += (spk.tilt ** (h - 1)) * np.sin(h * phase).astype(np.float32) / h
     src += spk.breathiness * rng.standard_normal(n).astype(np.float32)
     f1, f2 = letter_formants(ch)
-    jit = rng.uniform(0.97, 1.03, size=2)
-    out = _filt(*_resonator(f1 * jit[0], 80.0), src)
-    out = out + _filt(*_resonator(f2 * jit[1], 120.0), src)
+    jit = rng.uniform(0.985, 1.015, size=2)
+    out = _filt(*_resonator(f1 * jit[0], 60.0), src)
+    out = out + _filt(*_resonator(f2 * jit[1], 100.0), src)
     out = out + 0.25 * _filt(*_resonator(2900.0, 250.0), src)
     # 8 ms raised-cosine edges
     e = max(2, int(0.008 * SR))

@@ -52,15 +52,20 @@ SPECIALS = ["<|sot|>", "<|eos|>", "<|nospeech|>", "<|pad|>"]
 
 
 def build_tokenizer() -> ByteLevelBPE:
+    """Byte-level BPE with NO merges (= char tokens through the real BPE
+    code path): one letter gesture <-> one token keeps the audio-text
+    alignment monotonic, which a 2-layer decoder learns far faster than
+    word-merge alignment (measured: 12% word acc with 370-merge BPE vs
+    char-level's clean convergence)."""
     corpus = transcript_corpus(3000, seed=7)
-    return train_bpe(corpus, vocab_size=370, special_tokens=SPECIALS)
+    return train_bpe(corpus, vocab_size=256, special_tokens=SPECIALS)
 
 
 def tiny_config(tok: ByteLevelBPE) -> wsp.WhisperConfig:
     return wsp.WhisperConfig(
-        vocab_size=tok.vocab_size, num_mel_bins=N_MELS, d_model=192,
+        vocab_size=tok.vocab_size, num_mel_bins=N_MELS, d_model=256,
         encoder_layers=2, encoder_attention_heads=4, decoder_layers=2,
-        decoder_attention_heads=4, ffn_dim=512,
+        decoder_attention_heads=4, ffn_dim=768,
         max_source_positions=MAX_MEL_T // 2, max_target_positions=64,
         eos_token_id=tok.special["<|eos|>"],
         sot_token_id=tok.special["<|sot|>"],
@@ -71,11 +76,12 @@ def make_example(rng: np.random.Generator, tok: ByteLevelBPE):
     """(mel [M, T], token ids incl sot/eos)."""
     sot, eos = tok.special["<|sot|>"], tok.special["<|eos|>"]
     while True:
-        audio, text = make_utterance(rng, n_words=(2, 5))
-        if len(audio) <= int(MAX_SECONDS * SR) - 320:
+        audio, text = make_utterance(rng, n_words=(1, 4))
+        ids = [sot] + tok.encode(text) + [eos]
+        if (len(audio) <= int(MAX_SECONDS * SR) - 320
+                and len(ids) <= MAX_TGT):
             break
     mel = log_mel_np(audio, N_MELS)[0]
-    ids = ([sot] + tok.encode(text) + [eos])[:MAX_TGT]
     return mel, ids
 
 
@@ -146,27 +152,35 @@ class DataServer:
         self.stop = True
 
 
-def greedy_decode(params, cfg, tok, mel, max_new: int = 40):
-    """Simple batched greedy via full re-decode (tiny model; eval only)."""
+def greedy_decode(params, cfg, tok, mel, max_new: int = MAX_TGT - 1):
+    """Batched greedy with a FIXED-shape token buffer (one compile: the
+    decoder is causal, so positions past the frontier don't affect the
+    frontier's logits)."""
     B = mel.shape[0]
     enc = wsp.encode(params, cfg, jnp.asarray(mel))
-    toks = np.full((B, 1), cfg.sot_token_id, np.int32)
+
+    @jax.jit
+    def frontier_logits(buf, t):
+        logits = wsp.decode_full(params, cfg, buf, enc)
+        return jnp.argmax(logits[:, t - 1], axis=-1).astype(jnp.int32)
+
+    buf = np.full((B, MAX_TGT), cfg.eos_token_id, np.int32)
+    buf[:, 0] = cfg.sot_token_id
     done = np.zeros(B, bool)
-    for _ in range(max_new):
-        logits = wsp.decode_full(params, cfg, jnp.asarray(toks), enc)
-        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
+    for t in range(1, min(MAX_TGT, max_new + 1)):
+        nxt = np.asarray(frontier_logits(jnp.asarray(buf), t))
         nxt = np.where(done, cfg.eos_token_id, nxt)
-        toks = np.concatenate([toks, nxt[:, None].astype(np.int32)], axis=1)
+        buf[:, t] = nxt
         done |= nxt == cfg.eos_token_id
         if done.all():
             break
     outs = []
-    for row in toks:
+    for row in buf:
         ids = []
-        for t in row[1:]:
-            if t == cfg.eos_token_id:
+        for tkn in row[1:]:
+            if tkn == cfg.eos_token_id:
                 break
-            ids.append(int(t))
+            ids.append(int(tkn))
         outs.append(tok.decode(ids))
     return outs
 
@@ -182,7 +196,7 @@ def word_acc(hyps, refs) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=7000)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-only", action="store_true")
@@ -198,7 +212,8 @@ def main() -> None:
         assert params is not None, f"no checkpoint at {OUT}"
     else:
         params = wsp.init_params(jax.random.PRNGKey(a.seed), cfg)
-        sched = optax.cosine_decay_schedule(a.lr, a.steps, alpha=0.05)
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, a.lr, 300, a.steps, a.lr * 0.02)
         opt = optax.adamw(sched, weight_decay=1e-4)
         opt_state = opt.init(params)
 
