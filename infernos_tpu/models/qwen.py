@@ -254,6 +254,63 @@ def decode_step(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
     return logits, cache
 
 
+def verify_steps(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
+    """K-token speculative-verify pass: tokens [B, K], pos [B].
+
+    Token j of each slot lands at position ``pos+j`` (KV written there) and
+    its query attends to cache positions ``<= pos+j`` -- a causal
+    mini-prefill against the live cache.  Returns (logits [B, K, V], cache).
+    Decode is weight/cache-bandwidth bound, so verifying K drafted tokens
+    costs about one decode step of HBM traffic: accepted tokens are nearly
+    free (the speculative-decode win; reference rides plain
+    ``model.generate``, Cluster/InfernLLMWorker.py:112-118).
+    """
+    B, K = tokens.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rep = H // Hkv
+    x = params["embed"]["w"][tokens]  # [B, K, D]
+    positions = pos[:, None] + jnp.arange(K)[None, :]  # [B, K]
+    cos, sin = _rope_tables(cfg, positions)  # [B, K, Dh]
+    Tmax = cache.k.shape[3]
+    kpos = jnp.arange(Tmax)
+    # [B, 1, K, Tmax]: query j sees kv positions <= pos+j
+    valid = kpos[None, None, None, :] <= positions[:, None, :, None]
+
+    def upd(c, n, p):  # c [Hkv, Tmax, Dh], n [Hkv, K, Dh]
+        return jax.lax.dynamic_update_slice_in_dim(c, n, p, axis=1)
+
+    def body(x, layer):
+        lp, k_l, v_l = layer
+        h_in = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q = L.linear(h_in, lp["q"]).reshape(B, K, H, Dh).transpose(0, 2, 1, 3)
+        k = L.linear(h_in, lp["k"]).reshape(B, K, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = L.linear(h_in, lp["v"]).reshape(B, K, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        k_c = jax.vmap(upd)(k_l, k, pos)
+        v_c = jax.vmap(upd)(v_l, v, pos)
+        kx = jnp.repeat(k_c, rep, axis=1)
+        vx = jnp.repeat(v_c, rep, axis=1)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, kx) * (Dh**-0.5)
+        logits = jnp.where(valid, logits, L.NEG_INF)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, vx)
+        out = out.transpose(0, 2, 1, 3).reshape(B, K, H * Dh)
+        x = x + L.linear(out, lp["o"])
+        x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
+        return x, (k_c, v_c)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    cache = QwenCache(ks, vs)
+    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)  # [B, K, D]
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.einsum("bkd,vd->bkv", x, params["embed"]["w"])
+    else:
+        logits = jnp.einsum("bkd,dv->bkv", x, head["w"])
+    return logits, cache
+
+
 # -- HF weight porting ---------------------------------------------------------
 
 def _t(x):

@@ -1,0 +1,353 @@
+"""Pallas fused TTS decoder-step kernel (VERDICT r2 item 3).
+
+The TTS AR chain is ~97% of the serving tick and runs ~10x over its
+weight-bandwidth floor as plain XLA: each decoder step is ~90 small ops
+([B,768]x[768,768] matmuls, single-query attentions, LNs) whose fixed
+per-op and HBM-latency overheads dominate at slot-batch sizes
+(PERF.md round-2 profile; the 1.07x qkv-fusion negative result showed the
+overhead is spread across the whole step graph, so only whole-step fusion
+helps).  This kernel runs ONE grid step per decoder layer and performs the
+complete layer -- self-attention over the KV cache (chunk-streamed from
+HBM with online softmax, dead chunks skipped at runtime), cross-attention
+over the precomputed encoder K/V, and the FFN -- with weights DMA'd once
+per layer into reused VMEM buffers.
+
+Replaces ``models.speecht5.decode_step``'s layer scan for serving; the
+XLA path remains the oracle (``tests/test_tts_fused_step.py`` checks
+parity in interpreter mode).  Cache WRITES stay in XLA (vmapped
+dynamic-update at per-slot ``pos``): the kernel returns each layer's new
+K/V row and attends to the current token directly, which is equivalent to
+reading the just-written cache row.
+
+Reference behavior being accelerated: the reference's per-step decoder
+loop ``HelloSippyTTSRT/HelloSippyRTPipe.py:191-259``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
+    # scalar-prefetch
+    maxpos_ref,            # SMEM [1] int32: max(pos)+1 over active slots
+    # inputs
+    x0_ref,                # VMEM [B, D] f32 (prenet output)
+    pos_ref,               # VMEM [B, 1] int32 per-slot write position
+    encbias_ref,           # VMEM [B, S] f32 additive cross mask
+    sqw_ref, skw_ref, svw_ref, sow_ref, cqw_ref, cow_ref,  # ANY [L, D, D]
+    w1_ref,                # ANY [L, D, F]
+    w2_ref,                # ANY [L, F, D]
+    smalls_ref,            # VMEM [L, 13, D] f32 (biases + LN params)
+    b1_ref,                # VMEM [L, F] f32
+    selfk_ref, selfv_ref,  # ANY [L, B, H, Tmax, Dh]
+    crossk_ref, crossv_ref,  # ANY [L, B, H, S, Dh]
+    # outputs
+    xout_ref,              # VMEM [B, D] f32
+    knew_ref, vnew_ref,    # VMEM [L_block=1, B, D]
+    # scratch
+    x_scr,                 # VMEM [B, D] f32 (carried hidden)
+    *,
+    n_heads: int,
+    chunk: int,
+    eps: float,
+    cache_dtype,
+):
+    l = pl.program_id(0)
+    B, D = x_scr.shape
+    H = n_heads
+    Dh = D // H
+    F = b1_ref.shape[1]
+    S = encbias_ref.shape[1]
+    Tmax = selfk_ref.shape[3]
+    scale = Dh ** -0.5
+
+    @pl.when(l == 0)
+    def _():
+        x_scr[:] = x0_ref[:]
+
+    sm = smalls_ref[l]  # [13, D] f32
+    (BSQ, BSK, BSV, BSO, BCQ, BCO, B2,
+     LN1G, LN1B, LN2G, LN2B, LN3G, LN3B) = range(13)
+
+    def ln(x, gi, bi):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * sm[gi][None, :] \
+            + sm[bi][None, :]
+
+    def matmul(x, w_ref_vmem):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w_ref_vmem[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # ---------------- phase A: self-attention + cross-attention -------------
+    def attn_phase(wbuf, kcb, vcb, acc, mrow, drow, sems):
+        # wbuf: [6, D, D] bf16; kcb/vcb: [B, H, chunk, Dh] bf16
+        # acc: [B, H, Dh] f32; mrow/drow: [B, H] f32
+        wdmas = [pltpu.make_async_copy(ref.at[l], wbuf.at[i], sems.at[i])
+                 for i, ref in enumerate((sqw_ref, skw_ref, svw_ref, sow_ref,
+                                          cqw_ref, cow_ref))]
+        for d in wdmas:
+            d.start()
+        wdmas[0].wait()
+        x = x_scr[:]
+        q = matmul(x, wbuf.at[0]) * scale + sm[BSQ][None, :] * scale
+        wdmas[1].wait()
+        k_new = matmul(x, wbuf.at[1]) + sm[BSK][None, :]
+        wdmas[2].wait()
+        v_new = matmul(x, wbuf.at[2]) + sm[BSV][None, :]
+        knew_ref[0] = k_new.astype(knew_ref.dtype)
+        vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+
+        qh = q.reshape(B, H, Dh)
+        maxpos = maxpos_ref[0]
+        posv = pos_ref[:]  # [B, 1] int32
+
+        mrow[:] = jnp.full((B, H), NEG_INF, jnp.float32)
+        drow[:] = jnp.zeros((B, H), jnp.float32)
+        acc[:] = jnp.zeros((B, H, Dh), jnp.float32)
+
+        n_chunks = Tmax // chunk
+        for c in range(n_chunks):
+            @pl.when(c * chunk < maxpos)
+            def _(c=c):
+                kd = pltpu.make_async_copy(
+                    selfk_ref.at[l, :, :, pl.ds(c * chunk, chunk), :],
+                    kcb, sems.at[6])
+                vd = pltpu.make_async_copy(
+                    selfv_ref.at[l, :, :, pl.ds(c * chunk, chunk), :],
+                    vcb, sems.at[7])
+                kd.start()
+                vd.start()
+                kd.wait()
+                # scores [B, H, chunk] on the VPU (single-query attention)
+                kc = kcb[:].astype(jnp.float32)
+                scores = jnp.sum(qh[:, :, None, :] * kc, axis=-1)
+                kpos = (c * chunk
+                        + jax.lax.broadcasted_iota(jnp.int32, (B, 1, chunk),
+                                                   2))
+                valid = kpos < posv[:, :, None]  # [B, 1, chunk]
+                scores = jnp.where(valid, scores, NEG_INF)
+                m_new = jnp.maximum(mrow[:], jnp.max(scores, axis=-1))
+                alpha = jnp.exp(mrow[:] - m_new)
+                p = jnp.exp(scores - m_new[:, :, None])
+                vd.wait()
+                vc = vcb[:].astype(jnp.float32)
+                acc[:] = (acc[:] * alpha[:, :, None]
+                          + jnp.sum(p[:, :, :, None] * vc, axis=2))
+                drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1)
+                mrow[:] = m_new
+
+        # current token (the row the caller writes at pos): score vs itself
+        kh = k_new.reshape(B, H, Dh)
+        vh = v_new.reshape(B, H, Dh)
+        s_cur = jnp.sum(qh * kh, axis=-1)  # [B, H]
+        m_new = jnp.maximum(mrow[:], s_cur)
+        alpha = jnp.exp(mrow[:] - m_new)
+        p_cur = jnp.exp(s_cur - m_new)
+        acc[:] = acc[:] * alpha[:, :, None] + p_cur[:, :, None] * vh
+        drow[:] = drow[:] * alpha + p_cur
+        out = (acc[:] / drow[:][:, :, None]).reshape(B, D)
+        wdmas[3].wait()
+        h = matmul(out, wbuf.at[3]) + sm[BSO][None, :]
+        x = ln(x + h, LN1G, LN1B)
+
+        # ---- cross attention (chunk-stream encoder K/V, reuse buffers) ----
+        wdmas[4].wait()
+        qc = (matmul(x, wbuf.at[4]) + sm[BCQ][None, :]) * scale
+        qch = qc.reshape(B, H, Dh)
+        mrow[:] = jnp.full((B, H), NEG_INF, jnp.float32)
+        drow[:] = jnp.zeros((B, H), jnp.float32)
+        acc[:] = jnp.zeros((B, H, Dh), jnp.float32)
+        n_cchunks = S // chunk if S % chunk == 0 else S // chunk + 1
+        for c in range(n_cchunks):
+            w = min(chunk, S - c * chunk)
+            kd = pltpu.make_async_copy(
+                crossk_ref.at[l, :, :, pl.ds(c * chunk, w), :],
+                kcb.at[:, :, pl.ds(0, w), :], sems.at[6])
+            vd = pltpu.make_async_copy(
+                crossv_ref.at[l, :, :, pl.ds(c * chunk, w), :],
+                vcb.at[:, :, pl.ds(0, w), :], sems.at[7])
+            kd.start()
+            vd.start()
+            kd.wait()
+            kc = kcb[:, :, :w, :].astype(jnp.float32)
+            scores = jnp.sum(qch[:, :, None, :] * kc, axis=-1)
+            scores = scores + encbias_ref[:, pl.ds(c * chunk, w)][:, None, :]
+            m_new = jnp.maximum(mrow[:], jnp.max(scores, axis=-1))
+            alpha = jnp.exp(mrow[:] - m_new)
+            p = jnp.exp(scores - m_new[:, :, None])
+            vd.wait()
+            vc = vcb[:, :, :w, :].astype(jnp.float32)
+            acc[:] = (acc[:] * alpha[:, :, None]
+                      + jnp.sum(p[:, :, :, None] * vc, axis=2))
+            drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1)
+            mrow[:] = m_new
+        out = (acc[:] / jnp.maximum(drow[:], 1e-20)[:, :, None]).reshape(B, D)
+        wdmas[5].wait()
+        h = matmul(out, wbuf.at[5]) + sm[BCO][None, :]
+        x_scr[:] = ln(x + h, LN2G, LN2B)
+
+    pl.run_scoped(
+        attn_phase,
+        wbuf=pltpu.VMEM((6, D, D), jnp.bfloat16),
+        kcb=pltpu.VMEM((B, H, chunk, Dh), cache_dtype),
+        vcb=pltpu.VMEM((B, H, chunk, Dh), cache_dtype),
+        acc=pltpu.VMEM((B, H, Dh), jnp.float32),
+        mrow=pltpu.VMEM((B, H), jnp.float32),
+        drow=pltpu.VMEM((B, H), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((8,)),
+    )
+
+    # ---------------- phase B: FFN ------------------------------------------
+    def ffn_phase(w1b, w2b, sems):
+        d1 = pltpu.make_async_copy(w1_ref.at[l], w1b, sems.at[0])
+        d2 = pltpu.make_async_copy(w2_ref.at[l], w2b, sems.at[1])
+        d1.start()
+        d2.start()
+        x = x_scr[:]
+        d1.wait()
+        hmid = matmul(x, w1b) + b1_ref[l][None, :]
+        hmid = jax.nn.gelu(hmid, approximate=False)
+        d2.wait()
+        h = matmul(hmid, w2b) + sm[B2][None, :]
+        x_scr[:] = ln(x + h, LN3G, LN3B)
+
+    pl.run_scoped(
+        ffn_phase,
+        w1b=pltpu.VMEM((D, F), jnp.bfloat16),
+        w2b=pltpu.VMEM((F, D), jnp.bfloat16),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+    @pl.when(l == pl.num_programs(0) - 1)
+    def _():
+        xout_ref[:] = x_scr[:]
+
+
+def pack_smalls(dec_layers, dtype=jnp.float32):
+    """[L, 13, D] f32: biases (sq,sk,sv,so,cq,co,ffn.out) + LN g/b."""
+    sa, ca = dec_layers["self_attn"], dec_layers["cross_attn"]
+    rows = [sa["q"]["b"], sa["k"]["b"], sa["v"]["b"], sa["o"]["b"],
+            ca["q"]["b"], ca["o"]["b"], dec_layers["ffn"]["out"]["b"],
+            dec_layers["ln1"]["g"], dec_layers["ln1"]["b"],
+            dec_layers["ln2"]["g"], dec_layers["ln2"]["b"],
+            dec_layers["ln3"]["g"], dec_layers["ln3"]["b"]]
+    return jnp.stack([r.astype(dtype) for r in rows], axis=1)  # [L, 13, D]
+
+
+def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
+                      chunk: int = 64, interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, object]:
+    """Drop-in for ``speecht5.decode_step`` (x: [B, 1, D]).
+
+    Returns ([B, 1, D] hidden, updated cache).  Cache K/V rows for the
+    current position are written back in XLA (vmapped dynamic update at
+    per-slot ``pos``), exactly like the oracle.
+    """
+    if not interpret:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
+    dl = params["dec_layers"]
+    B = x.shape[0]
+    D = x.shape[-1]
+    H = cfg.decoder_attention_heads
+    Dh = D // H
+    Lyr = dl["ln1"]["g"].shape[0]
+
+    smalls = pack_smalls(dl)
+    b1 = dl["ffn"]["in"]["b"].astype(jnp.float32)  # [L, F]
+    F = b1.shape[1]
+    wdt = jnp.bfloat16
+
+    x0 = x[:, 0, :].astype(jnp.float32)
+    pos_in = pos.astype(jnp.int32)[:, None]
+    maxpos = jnp.max(pos).astype(jnp.int32)[None]
+    S_ = cache.cross_k.shape[3]
+    if enc_mask is not None:
+        encbias = jnp.where(enc_mask.astype(bool), 0.0, NEG_INF
+                            ).astype(jnp.float32)
+    else:
+        encbias = jnp.zeros((B, S_), jnp.float32)
+
+    kernel = functools.partial(_layer_kernel, n_heads=H, chunk=chunk,
+                               eps=cfg.layer_norm_eps,
+                               cache_dtype=cache.self_k.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Lyr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pos
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # encbias
+            pl.BlockSpec(memory_space=pl.ANY),    # sqw
+            pl.BlockSpec(memory_space=pl.ANY),    # skw
+            pl.BlockSpec(memory_space=pl.ANY),    # svw
+            pl.BlockSpec(memory_space=pl.ANY),    # sow
+            pl.BlockSpec(memory_space=pl.ANY),    # cqw
+            pl.BlockSpec(memory_space=pl.ANY),    # cow
+            pl.BlockSpec(memory_space=pl.ANY),    # w1
+            pl.BlockSpec(memory_space=pl.ANY),    # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # smalls
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
+            pl.BlockSpec(memory_space=pl.ANY),    # selfk
+            pl.BlockSpec(memory_space=pl.ANY),    # selfv
+            pl.BlockSpec(memory_space=pl.ANY),    # crossk
+            pl.BlockSpec(memory_space=pl.ANY),    # crossv
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # xout
+            pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),                     # knew
+            pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),                     # vnew
+        ),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+    )
+
+    sa, ca = dl["self_attn"], dl["cross_attn"]
+    ck = cache.cross_k
+    cv = cache.cross_v
+    xout, knew, vnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((Lyr, B, D), cache.self_k.dtype),
+            jax.ShapeDtypeStruct((Lyr, B, D), cache.self_v.dtype),
+        ),
+        interpret=interpret,
+    )(maxpos, x0, pos_in, encbias,
+      sa["q"]["w"].astype(wdt), sa["k"]["w"].astype(wdt),
+      sa["v"]["w"].astype(wdt), sa["o"]["w"].astype(wdt),
+      ca["q"]["w"].astype(wdt), ca["o"]["w"].astype(wdt),
+      dl["ffn"]["in"]["w"].astype(wdt), dl["ffn"]["out"]["w"].astype(wdt),
+      smalls, b1,
+      cache.self_k, cache.self_v, ck, cv)
+
+    # cache writes in XLA (per-slot pos; in-place under donation)
+    knew_h = knew.reshape(Lyr, B, H, Dh)
+    vnew_h = vnew.reshape(Lyr, B, H, Dh)
+
+    def upd(c, new):  # c [L,B,H,T,Dh], new [L,B,H,Dh]
+        def one(cb, nb, p):  # [L,H,T,Dh], [L,H,Dh], scalar
+            return jax.lax.dynamic_update_slice_in_dim(
+                cb, nb[:, :, None, :], p, axis=2)
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(c, new, pos)
+
+    cache = cache._replace(self_k=upd(cache.self_k, knew_h),
+                           self_v=upd(cache.self_v, vnew_h))
+    return xout.astype(x.dtype)[:, None, :], cache

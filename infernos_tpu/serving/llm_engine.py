@@ -48,6 +48,15 @@ class LLMEngineConfig:
     # loop): amortizes host dispatch latency K-fold; sentence streaming
     # granularity becomes K tokens, invisible behind the >=10-char flush
     steps_per_dispatch: int = 4
+    # speculative decode (n-gram self-drafting / prompt-lookup): each
+    # dispatch verifies spec_k-1 drafted tokens in ONE pass
+    # (qwen.verify_steps) and emits 1..spec_k tokens.  Decode is
+    # weight-bandwidth bound, so accepted tokens are nearly free; with no
+    # usable draft the engine still advances one token per dispatch.
+    # Replaces steps_per_dispatch when enabled.
+    spec_decode: bool = False
+    spec_k: int = 8          # tokens per verify pass (draft = spec_k - 1)
+    spec_ngram: int = 3      # longest suffix n-gram to match for drafting
 
 
 @dataclasses.dataclass
@@ -147,6 +156,7 @@ class LLMEngine:
         }
         self._join_fn = jax.jit(self._join, donate_argnums=(1,))
         self._step_fn = jax.jit(self._step, donate_argnums=(1,))
+        self._verify_fn = jax.jit(self._verify, donate_argnums=(1,))
 
     # -- jitted programs ------------------------------------------------------
 
@@ -192,6 +202,50 @@ class LLMEngine:
             length=self.ecfg.steps_per_dispatch)
         return cache, pos, cur_tok, nxts.T
 
+    def _verify(self, params, cache, pos, cur_tok, done, draft):
+        """One speculative verify dispatch: draft [B, K-1] candidate
+        continuations after cur_tok.  Returns (cache, pos, cur_tok,
+        pred [B, K], n_emit [B]): ``pred[i, :n_emit[i]]`` are this slot's
+        newly decoded tokens (accepted draft prefix + one correction)."""
+        B = cur_tok.shape[0]
+        tokens_in = jnp.concatenate([cur_tok[:, None], draft], axis=1)
+        logits, cache = qwen.verify_steps(params, self.cfg, tokens_in,
+                                          cache, pos)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K]
+        matches = (pred[:, :-1] == draft).astype(jnp.int32)
+        a = jnp.cumprod(matches, axis=1).sum(axis=1)  # leading matches
+        n_emit = jnp.where(done, 0, a + 1)
+        pos = pos + n_emit
+        new_cur = pred[jnp.arange(B), a]
+        cur_tok = jnp.where(done, cur_tok, new_cur)
+        return cache, pos, cur_tok, pred, n_emit
+
+    # -- speculative drafting -------------------------------------------------
+
+    def _ngram_draft(self, s) -> np.ndarray:
+        """Prompt-lookup drafting over the slot's OWN generated tokens: the
+        longest (<= spec_ngram) suffix that re-occurred earlier predicts the
+        tokens that followed it; falls back to repeating the last token."""
+        K1 = self.ecfg.spec_k - 1
+        hist = s.streamer.tokens
+        draft = np.zeros(K1, np.int32)
+        if not hist:
+            return draft
+        draft[:] = hist[-1]
+        for n in range(min(self.ecfg.spec_ngram, len(hist) - 1), 0, -1):
+            suffix = hist[-n:]
+            for idx in range(len(hist) - n - 1, -1, -1):
+                if hist[idx:idx + n] == suffix:
+                    cont = hist[idx + n: idx + n + K1]
+                    if cont:
+                        draft[: len(cont)] = cont
+                        return draft
+                    break
+            else:
+                continue
+            break
+        return draft
+
     # -- public API -----------------------------------------------------------
 
     def free_slots(self) -> List[int]:
@@ -209,8 +263,14 @@ class LLMEngine:
                                  jnp.int32(1))
         # the step donates the cache: reassign state (all slots are done, so
         # pos/cur_tok stay put)
-        (self.cache, self.pos, self.cur_tok, _) = self._step_fn(
-            self.params, self.cache, self.pos, self.cur_tok, self.done)
+        if self.ecfg.spec_decode:
+            (self.cache, self.pos, self.cur_tok, _, _) = self._verify_fn(
+                self.params, self.cache, self.pos, self.cur_tok, self.done,
+                jnp.zeros((self.ecfg.batch_slots, self.ecfg.spec_k - 1),
+                          jnp.int32))
+        else:
+            (self.cache, self.pos, self.cur_tok, _) = self._step_fn(
+                self.params, self.cache, self.pos, self.cur_tok, self.done)
 
     def abort_all(self, reason: str = "engine failure") -> None:
         """Supervision hook: flush a final (possibly partial) result to every
@@ -281,29 +341,48 @@ class LLMEngine:
                 self._inflight = None
                 return self.n_active > 0
             return False
-        (self.cache, self.pos, self.cur_tok, nxt) = self._step_fn(
-            self.params, self.cache, self.pos, self.cur_tok, self.done)
+        if self.ecfg.spec_decode:
+            draft = np.zeros((self.ecfg.batch_slots, self.ecfg.spec_k - 1),
+                             np.int32)
+            for i, s in enumerate(self.slots):
+                if s is not None:
+                    draft[i] = self._ngram_draft(s)
+            (self.cache, self.pos, self.cur_tok, pred, n_emit) = \
+                self._verify_fn(self.params, self.cache, self.pos,
+                                self.cur_tok, self.done, jnp.asarray(draft))
+            bufs = (pred, n_emit)
+        else:
+            (self.cache, self.pos, self.cur_tok, nxt) = self._step_fn(
+                self.params, self.cache, self.pos, self.cur_tok, self.done)
+            bufs = nxt
         # one-step software pipeline: dispatch N, harvest N-1 while the
         # device computes (AR feedback is in-device; the fetch is
         # bookkeeping only)
         prev = self._inflight
-        self._inflight = (nxt, list(self.slots))
+        self._inflight = (bufs, list(self.slots))
         if prev is not None:
             self._harvest(*prev)
         return True
 
-    def _harvest(self, nxts, snapshot) -> None:
-        nxt_np = jax.device_get(nxts)  # [B, K]
-        K = nxt_np.shape[1]
+    def _harvest(self, bufs, snapshot) -> None:
+        if self.ecfg.spec_decode:
+            pred_np, nemit_np = jax.device_get(bufs)  # [B, K], [B]
+        else:
+            pred_np = jax.device_get(bufs)  # [B, K]
+            nemit_np = None
+        K = pred_np.shape[1]
         for i, s in enumerate(snapshot):
             if s is None or self.slots[i] is not s:
                 continue
             limit = s.req.max_new_tokens or self.ecfg.max_new_tokens
             budget = self.ecfg.max_total_tokens - s.prompt_len - 1
             cap = min(limit, budget)
+            n_take = K if nemit_np is None else int(nemit_np[i])
+            if nemit_np is not None:
+                metrics.observe("llm.spec_emit", float(n_take))
             fin = False
-            for k in range(K):
-                tok = int(nxt_np[i, k])
+            for k in range(n_take):
+                tok = int(pred_np[i, k])
                 if tok in self.eos_ids or s.new_tokens >= cap:
                     fin = True
                     break

@@ -60,6 +60,11 @@ class TTSEngineConfig:
     # keeping up to ``max_inflight_ticks`` dispatches queued on the device
     async_harvest: bool = False
     max_inflight_ticks: int = 2
+    # Pallas fused decoder-step kernel (ops/tts_step.py): one grid step per
+    # layer, weights DMA'd once into reused VMEM, cache chunk-streamed with
+    # dead chunks skipped.  None = auto (on when running on TPU); the XLA
+    # path is the oracle and serves everywhere else.
+    fused_step: Optional[bool] = None
 
 
 class TTSState(NamedTuple):
@@ -239,6 +244,14 @@ class TTSEngine:
 
     # -- decode ---------------------------------------------------------------
 
+    def _use_fused_step(self) -> bool:
+        if self.ecfg.fused_step is not None:
+            return self.ecfg.fused_step
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            return False
+
     def _decode_chunk(self, params, state: TTSState, rng, paused, *,
                       n_frames: int):
         """Run ``n_frames // r`` AR steps for all slots (jitted, donated).
@@ -259,8 +272,16 @@ class TTSEngine:
                 params, cfg, state.prev_mel, state.spk,
                 step_offset=state.pos, dropout_rng=sub,
             )
-            h, cache = st5.decode_step(params, cfg, x, state.cache,
-                                       state.pos, enc_mask=state.enc_mask)
+            if self._use_fused_step():
+                from ..ops.tts_step import fused_decode_step
+
+                h, cache = fused_decode_step(params, cfg, x, state.cache,
+                                             state.pos,
+                                             enc_mask=state.enc_mask)
+            else:
+                h, cache = st5.decode_step(params, cfg, x, state.cache,
+                                           state.pos,
+                                           enc_mask=state.enc_mask)
             mel, logits = st5.feat_and_prob(params, cfg, h)  # [B,r,M],[B,r]
             run = jnp.logical_and(state.active, jnp.logical_not(state.stopped))
             run = jnp.logical_and(run, jnp.logical_not(paused))
