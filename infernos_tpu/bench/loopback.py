@@ -101,3 +101,71 @@ class LoopbackQA:
     def top_speakers(self, n: int = 50) -> List[int]:
         return [sid for sid, _ in sorted(self.scores.items(),
                                          key=lambda kv: -kv[1])[:n]]
+
+
+def main() -> None:
+    """Loopback QA over the in-repo-trained tiny pair (VERDICT r2 item 2
+    'Done' criterion: similarity > 0.8 on trained-model round trips).
+
+    Usage: python -m infernos_tpu.bench.loopback [--speakers 8] [--prompts 2]
+    """
+    import argparse
+    import sys
+    from pathlib import Path
+
+    from ..models import tiny_real
+    from ..serving.stt_engine import STTEngine
+    from ..serving.tts_engine import TTSEngine, TTSEngineConfig
+    from ..utils.compile_cache import enable
+
+    enable()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--speakers", type=int, default=8)
+    ap.add_argument("--prompts", type=int, default=2)
+    a = ap.parse_args()
+
+    if not (tiny_real.have_tiny_stt() and tiny_real.have_tiny_tts()):
+        print(json.dumps({"metric": "loopback_similarity", "value": 0,
+                          "error": "tiny trained pair not present"}))
+        return
+
+    t5, tcfg, voc, vcfg, ttok, table = tiny_real.load_tiny_tts()
+    sparams, scfg, stok, secfg = tiny_real.load_tiny_stt()
+    tts = TTSEngine(t5, tcfg, voc, vcfg, TTSEngineConfig(
+        batch_slots=4, max_text_tokens=48, max_steps=170,
+        stop_threshold=0.5))
+    stt = STTEngine(sparams, scfg, secfg, detokenize=stok.detokenize)
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+    from tools.speechlang import transcript_corpus
+
+    prompts = transcript_corpus(a.prompts, seed=555)
+    qa = LoopbackQA(tts, stt, tokenize=ttok)
+
+    class _Bank:
+        def get(self, sid):
+            return table[sid % len(table)]
+
+    scores = qa.run_generation(_Bank(), list(range(a.speakers)),
+                               prompts * a.speakers)
+    sims = [s.similarity for s in scores]
+    out = {
+        "metric": "loopback_similarity",
+        "value": round(float(np.mean(sims)), 3),
+        "unit": "char-level prompt<->transcript similarity (ref: BERT "
+                "cosine, Cluster/InfernBenchActor.py:76-86)",
+        "detail": {
+            "median": round(float(np.median(sims)), 3),
+            "frac_above_0.8": round(float(np.mean(
+                [s > 0.8 for s in sims])), 3),
+            "samples": [
+                {"speaker": s.speaker_id, "sim": round(s.similarity, 3),
+                 "prompt": s.prompt, "transcript": s.transcript}
+                for s in scores[:4]],
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

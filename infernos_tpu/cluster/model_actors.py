@@ -89,6 +89,15 @@ class TTSActor(Actor):
         self.driver: Optional[EngineDriver] = None
 
     def start(self, lang: str = "en", output_sr: int = 16000) -> None:
+        import os as _os2
+
+        if _os2.environ.get("INFERNOS_MODEL_MODE") == "tiny-real":
+            from ..models import tiny_real
+
+            if tiny_real.have_tiny_tts():
+                return self._start_tiny_real(lang)
+            log.warning("INFERNOS_MODEL_MODE=tiny-real but no trained tiny "
+                        "TTS checkpoint; falling back")
         cfg = presets.SPEECHT5_TINY if self.tiny else presets.SPEECHT5_FULL
         voc = presets.HIFIGAN_TINY if self.tiny else presets.HIFIGAN_FULL
         k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
@@ -132,6 +141,26 @@ class TTSActor(Actor):
         self.driver = EngineDriver(self.engine, name="tts")
         self.driver.start()
         log.info("TTSActor started (lang=%s tiny=%s)", lang, self.tiny)
+
+    def _start_tiny_real(self, lang: str) -> None:
+        """Serve the in-repo-trained tiny SpeechT5+HiFi-GAN pair: real
+        stop tokens, real speech (VERDICT r2 item 2)."""
+        from ..models import tiny_real
+
+        params, cfg, voc_params, vcfg, tok, table = tiny_real.load_tiny_tts()
+        ecfg = self.ecfg or TTSEngineConfig(
+            batch_slots=8, max_text_tokens=48, max_steps=170,
+            stop_threshold=0.5,  # trained stop tokens actually fire
+            dtype=jnp.float32,
+        )
+        self.lang = lang
+        self.tokenizer = tok
+        self.bank = SpeakerBank(table)
+        self.engine = TTSEngine(params, cfg, voc_params, vcfg, ecfg)
+        self.engine.warmup()
+        self.driver = EngineDriver(self.engine, name="tts")
+        self.driver.start()
+        log.info("TTSActor started (lang=%s tiny-real trained pair)", lang)
 
     def on_stop(self) -> None:
         if self.driver:
@@ -178,6 +207,13 @@ class STTActor(Actor):
     def start(self) -> None:
         import os
 
+        if os.environ.get("INFERNOS_MODEL_MODE") == "tiny-real":
+            from ..models import tiny_real
+
+            if tiny_real.have_tiny_stt():
+                return self._start_tiny_real()
+            log.warning("INFERNOS_MODEL_MODE=tiny-real but no trained tiny "
+                        "STT checkpoint; falling back")
         cfg = presets.WHISPER_TINY_TEST if self.tiny else presets.WHISPER_LARGE_V3
         ecfg = self.ecfg or (
             STTEngineConfig(batch_slots=4, buckets_s=(2, 8),
@@ -219,6 +255,21 @@ class STTActor(Actor):
         self.driver = EngineDriver(self.engine, name="stt")
         self.driver.start()
         log.info("STTActor started (tiny=%s)", self.tiny)
+
+    def _start_tiny_real(self) -> None:
+        """Serve the in-repo-trained tiny Whisper: real transcripts, real
+        EOS -- turn latency without the garbage-decode artifact."""
+        from ..models import tiny_real
+
+        params, cfg, tok, ecfg = tiny_real.load_tiny_stt()
+        if self.ecfg is not None:
+            ecfg = self.ecfg
+        self.engine = STTEngine(params, cfg, ecfg,
+                                detokenize=tok.detokenize)
+        self.engine.warmup()
+        self.driver = EngineDriver(self.engine, name="stt")
+        self.driver.start()
+        log.info("STTActor started (tiny-real trained whisper)")
 
     def on_stop(self) -> None:
         if self.driver:

@@ -47,8 +47,14 @@ MAX_SECONDS = 5.0
 MAX_MEL_T = int(MAX_SECONDS * SR) // 160          # 500 frames
 MAX_TGT = 48
 
-# token layout: BPE merges first, then specials appended by train_bpe
-SPECIALS = ["<|sot|>", "<|eos|>", "<|nospeech|>", "<|pad|>"]
+# token layout: BPE merges first, then specials appended by train_bpe.
+# The SERVING prompt format (stt_engine._build_prompt) is trained exactly:
+# [<|startofprev|> ctx...] <|sot|> <|lang_en|> <|transcribe|> <|nots|>,
+# nospeech supervised at the sot position on silence examples (whisper
+# semantics in miniature) so engine ns_prob and rolling context work.
+SPECIALS = ["<|sot|>", "<|eos|>", "<|nospeech|>", "<|pad|>",
+            "<|lang_en|>", "<|transcribe|>", "<|notimestamps|>",
+            "<|startofprev|>"]
 
 
 def build_tokenizer() -> ByteLevelBPE:
@@ -72,31 +78,82 @@ def tiny_config(tok: ByteLevelBPE) -> wsp.WhisperConfig:
         no_speech_token_id=tok.special["<|nospeech|>"])
 
 
+def serving_prompt(tok: ByteLevelBPE, ctx=None):
+    """Exactly stt_engine._build_prompt's layout for lang=en/transcribe."""
+    sp = tok.special
+    prompt = []
+    if ctx:
+        prompt = [sp["<|startofprev|>"]] + list(ctx)
+    return prompt + [sp["<|sot|>"], sp["<|lang_en|>"], sp["<|transcribe|>"],
+                     sp["<|notimestamps|>"]]
+
+
+def _noise(rng: np.random.Generator, seconds: float) -> np.ndarray:
+    kind = rng.integers(0, 3)
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    if kind == 0:
+        x = rng.standard_normal(n)
+    elif kind == 1:
+        x = np.sin(2 * np.pi * rng.uniform(200, 3000) * t)
+        x += 0.2 * rng.standard_normal(n)
+    else:
+        x = 0.02 * rng.standard_normal(n)  # near-silence
+    peak = np.abs(x).max() + 1e-9
+    return (0.5 * x / peak).astype(np.float32)
+
+
 def make_example(rng: np.random.Generator, tok: ByteLevelBPE):
-    """(mel [M, T], token ids incl sot/eos)."""
-    sot, eos = tok.special["<|sot|>"], tok.special["<|eos|>"]
+    """(mel [M, T], ids, sot_idx, is_silence)."""
+    sp = tok.special
+    is_silence = rng.random() < 0.08
+    ctx = None
+    if not is_silence and rng.random() < 0.2:
+        # rolling-context examples: a previous transcript prefixes the
+        # prompt (engine keep_context path, reference STTSession :121)
+        prev = transcript_corpus(1, seed=int(rng.integers(1 << 31)))[0]
+        ctx = tok.encode(prev)[:10]
     while True:
-        audio, text = make_utterance(rng, n_words=(1, 4))
-        ids = [sot] + tok.encode(text) + [eos]
+        if is_silence:
+            audio, text = _noise(rng, float(rng.uniform(0.5, 3.0))), ""
+        else:
+            audio, text = make_utterance(rng, n_words=(1, 4))
+        prompt = serving_prompt(tok, ctx)
+        ids = prompt + tok.encode(text) + [sp["<|eos|>"]]
         if (len(audio) <= int(MAX_SECONDS * SR) - 320
                 and len(ids) <= MAX_TGT):
             break
+        ctx = None  # retry shorter
     mel = log_mel_np(audio, N_MELS)[0]
-    return mel, ids
+    sot_idx = len(prompt) - 4
+    return mel, ids, sot_idx, is_silence
 
 
 def assemble(examples, tok: ByteLevelBPE):
-    """Pad a list of (mel, ids) into (mel [B,M,T], toks [B,L], mask [B,L])."""
-    pad = tok.special["<|pad|>"]
+    """(mel [B,M,T], toks [B,L], tgt [B,L-1], mask [B,L-1]).
+
+    ``tgt``/``mask`` are over input positions 0..L-2 predicting the next
+    token: the sot position's target is <|lang_en|> (or <|nospeech|> for
+    silence -- whisper's no-speech convention), prompt-internal positions
+    are unsupervised, and text+eos positions are supervised normally."""
+    sp = tok.special
+    pad = sp["<|pad|>"]
     batch = len(examples)
     mels = np.zeros((batch, N_MELS, MAX_MEL_T), np.float32)
     toks = np.full((batch, MAX_TGT), pad, np.int32)
-    mask = np.zeros((batch, MAX_TGT), np.float32)
-    for i, (m, ids) in enumerate(examples):
+    tgt = np.full((batch, MAX_TGT - 1), pad, np.int32)
+    mask = np.zeros((batch, MAX_TGT - 1), np.float32)
+    for i, (m, ids, sot_idx, is_sil) in enumerate(examples):
         mels[i, :, : m.shape[1]] = m
         toks[i, : len(ids)] = ids
-        mask[i, 1 : len(ids)] = 1.0  # predict after sot, incl eos
-    return mels, toks, mask
+        tgt[i, : len(ids) - 1] = ids[1:]
+        # supervise: sot position (lang vs nospeech), then text onward
+        mask[i, sot_idx] = 1.0
+        if is_sil:
+            tgt[i, sot_idx] = sp["<|nospeech|>"]
+        first_text = sot_idx + 3  # input pos of <|nots|> predicts 1st text tok
+        mask[i, first_text : len(ids) - 1] = 1.0
+    return mels, toks, tgt, mask
 
 
 def make_batch(rng: np.random.Generator, tok: ByteLevelBPE, batch: int):
@@ -153,10 +210,12 @@ class DataServer:
 
 
 def greedy_decode(params, cfg, tok, mel, max_new: int = MAX_TGT - 1):
-    """Batched greedy with a FIXED-shape token buffer (one compile: the
-    decoder is causal, so positions past the frontier don't affect the
-    frontier's logits)."""
+    """Batched greedy from the SERVING prompt with a FIXED-shape token
+    buffer (one compile: the decoder is causal, so positions past the
+    frontier don't affect the frontier's logits)."""
     B = mel.shape[0]
+    prompt = serving_prompt(tok)
+    P = len(prompt)
     enc = wsp.encode(params, cfg, jnp.asarray(mel))
 
     @jax.jit
@@ -165,9 +224,9 @@ def greedy_decode(params, cfg, tok, mel, max_new: int = MAX_TGT - 1):
         return jnp.argmax(logits[:, t - 1], axis=-1).astype(jnp.int32)
 
     buf = np.full((B, MAX_TGT), cfg.eos_token_id, np.int32)
-    buf[:, 0] = cfg.sot_token_id
+    buf[:, :P] = prompt
     done = np.zeros(B, bool)
-    for t in range(1, min(MAX_TGT, max_new + 1)):
+    for t in range(P, min(MAX_TGT, P + max_new)):
         nxt = np.asarray(frontier_logits(jnp.asarray(buf), t))
         nxt = np.where(done, cfg.eos_token_id, nxt)
         buf[:, t] = nxt
@@ -177,7 +236,7 @@ def greedy_decode(params, cfg, tok, mel, max_new: int = MAX_TGT - 1):
     outs = []
     for row in buf:
         ids = []
-        for tkn in row[1:]:
+        for tkn in row[P:]:
             if tkn == cfg.eos_token_id:
                 break
             ids.append(int(tkn))
@@ -212,21 +271,20 @@ def main() -> None:
         assert params is not None, f"no checkpoint at {OUT}"
     else:
         params = wsp.init_params(jax.random.PRNGKey(a.seed), cfg)
+        warm = min(300, max(1, a.steps // 10))
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, a.lr, 300, a.steps, a.lr * 0.02)
+            0.0, a.lr, warm, a.steps, a.lr * 0.02)
         opt = optax.adamw(sched, weight_decay=1e-4)
         opt_state = opt.init(params)
 
         @jax.jit
-        def train_step(params, opt_state, mel, toks, mask):
+        def train_step(params, opt_state, mel, toks, tgt, mask):
             def loss_fn(p):
                 enc = wsp.encode(p, cfg, mel)
                 logits = wsp.decode_full(p, cfg, toks[:, :-1], enc)
-                tgt = toks[:, 1:]
-                lm = mask[:, 1:]
                 ll = optax.softmax_cross_entropy_with_integer_labels(
                     logits, tgt)
-                return (ll * lm).sum() / jnp.maximum(lm.sum(), 1.0)
+                return (ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -235,10 +293,10 @@ def main() -> None:
         server = DataServer(tok, seed=a.seed + 1)
         t0 = time.time()
         for step in range(a.steps):
-            mel, toks, mask = server.batch(rng, a.batch)
+            mel, toks, tgt, mask = server.batch(rng, a.batch)
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(mel), jnp.asarray(toks),
-                jnp.asarray(mask))
+                jnp.asarray(tgt), jnp.asarray(mask))
             if step % 100 == 0 or step == a.steps - 1:
                 print(f"step {step} loss {float(loss):.4f} "
                       f"buf {len(server.buf)} gen {server.generated} "
@@ -252,16 +310,23 @@ def main() -> None:
                       f, indent=2)
         tok.save(os.path.join(OUT, "tokenizer", "vocab.json"),
                  os.path.join(OUT, "tokenizer", "merges.txt"))
+        with open(os.path.join(OUT, "special_tokens.json"), "w") as f:
+            json.dump(tok.special, f, indent=2)
         print(f"saved to {OUT}")
 
-    # held-out eval (fresh rng stream)
+    # held-out eval (fresh rng stream; skip silence/context examples so
+    # refs are plain transcripts)
     erng = np.random.default_rng(a.seed + 10_000)
-    mel, toks, _ = make_batch(erng, tok, 24)
+    ex = []
+    while len(ex) < 24:
+        e = make_example(erng, tok)
+        if not e[3] and e[2] == 0:  # not silence, no context
+            ex.append(e)
+    mel, toks, _tgt, _mask = assemble(ex, tok)
     refs = []
-    pad = tok.special["<|pad|>"]
+    specials = set(tok.special.values())
     for row in toks:
-        ids = [int(t) for t in row[1:]
-               if t not in (cfg.eos_token_id, pad)]
+        ids = [int(t) for t in row if t not in specials]
         refs.append(tok.decode(ids))
     hyps = greedy_decode(params, cfg, tok, mel)
     acc = word_acc(hyps, refs)
