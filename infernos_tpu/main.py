@@ -142,5 +142,10 @@ def main(argv: List[str]) -> int:
     return 0
 
 
+def cli() -> None:
+    """console_scripts entry point (pyproject [project.scripts])."""
+    raise SystemExit(main(sys.argv))
+
+
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv))

@@ -7,9 +7,10 @@ The signaling plane runs on one asyncio loop (the reference marshals all SIP
 mutation onto its ED2 thread for the same single-writer discipline,
 ``Cluster/InfernSIPActor.py:30-58``).
 
-Scope: UDP only, INVITE/ACK/BYE/CANCEL/REGISTER/OPTIONS, RFC 3261 timers A/B
-(simplified), retransmission absorption by branch, digest auth on the client
-side.
+Scope: UDP + TCP (RFC 3261 18 stream framing; ``enable_tcp=True`` listens,
+``connect_tcp`` dials out), INVITE/ACK/BYE/CANCEL/REGISTER/OPTIONS/UPDATE/
+PRACK, RFC 3261 timers A/B (simplified), retransmission absorption by
+branch (suppressed on streams), digest auth on the client side.
 """
 
 from __future__ import annotations
@@ -71,10 +72,66 @@ class _ClientTxn:
         self.on_provisional = on_provisional
 
 
-class SIPStack(asyncio.DatagramProtocol):
-    """One UDP socket + transaction tables + dialog routing."""
+class _SipTcpConn(asyncio.Protocol):
+    """One SIP-over-TCP stream: Content-Length framing into the stack's
+    request/response dispatch (RFC 3261 18; beyond the reference's
+    UDP-only sippy usage -- 'matching' the sippy capability surface)."""
 
-    def __init__(self, bind: Tuple[str, int] = ("127.0.0.1", 0)):
+    def __init__(self, stack: "SIPStack"):
+        self.stack = stack
+        self.buf = b""
+        self.peer: Optional[Tuple[str, int]] = None
+        self.transport = None
+
+    def connection_made(self, transport) -> None:
+        self.transport = transport
+        self.peer = transport.get_extra_info("peername")[:2]
+        self.stack._tcp_conns[self.peer] = self
+
+    def connection_lost(self, exc) -> None:
+        if self.peer is not None:
+            self.stack._tcp_conns.pop(self.peer, None)
+
+    def data_received(self, data: bytes) -> None:
+        self.buf += data
+        while True:
+            head_end = self.buf.find(b"\r\n\r\n")
+            if head_end < 0:
+                if len(self.buf) > 1 << 20:
+                    self.transport.close()  # oversized headers
+                return
+            head = self.buf[:head_end].lower()
+            clen = 0
+            for line in head.split(b"\r\n"):
+                if line.startswith(b"content-length:") or line.startswith(b"l:"):
+                    try:
+                        clen = int(line.split(b":", 1)[1].strip())
+                    except ValueError:
+                        pass
+            total = head_end + 4 + clen
+            if len(self.buf) < total:
+                return
+            frame, self.buf = self.buf[:total], self.buf[total:]
+            try:
+                msg = SipMessage.parse(frame)
+            except Exception as e:
+                log.debug("unparseable SIP/TCP from %s: %s", self.peer, e)
+                continue
+            if msg.is_request:
+                self.stack._handle_request(msg, self.peer)
+            else:
+                self.stack._handle_response(msg, self.peer)
+
+    def send(self, data: bytes) -> None:
+        self.transport.write(data)
+
+
+class SIPStack(asyncio.DatagramProtocol):
+    """One UDP socket (+ optional TCP listener) + transaction tables +
+    dialog routing."""
+
+    def __init__(self, bind: Tuple[str, int] = ("127.0.0.1", 0),
+                 enable_tcp: bool = False):
         self._bind = bind
         self.transport: Optional[asyncio.DatagramTransport] = None
         self.local_addr: Tuple[str, int] = bind
@@ -86,6 +143,9 @@ class SIPStack(asyncio.DatagramProtocol):
         #: dialog routing: dialog_id -> handler(msg, addr)
         self.dialogs: Dict[Tuple[str, str, str], Callable] = {}
         self._loop = None
+        self._enable_tcp = enable_tcp
+        self._tcp_server = None
+        self._tcp_conns: Dict[Tuple[str, int], _SipTcpConn] = {}
 
     # -- lifecycle ------------------------------------------------------------
     async def start(self) -> None:
@@ -93,10 +153,43 @@ class SIPStack(asyncio.DatagramProtocol):
         self.transport, _ = await self._loop.create_datagram_endpoint(
             lambda: self, local_addr=self._bind)
         self.local_addr = self.transport.get_extra_info("sockname")[:2]
+        if self._enable_tcp:
+            self._tcp_server = await self._loop.create_server(
+                lambda: _SipTcpConn(self), self.local_addr[0],
+                self.local_addr[1])
+
+    async def connect_tcp(self, addr: Tuple[str, int]) -> None:
+        """Open (or reuse) an outbound SIP/TCP connection to ``addr``;
+        subsequent sends to that address ride the stream."""
+        if addr in self._tcp_conns:
+            return
+        if self._loop is None:
+            self._loop = asyncio.get_running_loop()
+        await self._loop.create_connection(
+            lambda: _SipTcpConn(self), addr[0], addr[1])
+
+    def _send_to(self, data: bytes, addr) -> None:
+        """Transport-routing send: TCP stream when one exists for the
+        address, UDP datagram otherwise."""
+        conn = self._tcp_conns.get(tuple(addr[:2]))
+        if conn is not None:
+            conn.send(data)
+        else:
+            self.transport.sendto(data, addr)
+
+    def is_tcp(self, addr) -> bool:
+        return tuple(addr[:2]) in self._tcp_conns
 
     def close(self) -> None:
         if self.transport:
             self.transport.close()
+        if self._tcp_server is not None:
+            self._tcp_server.close()
+        for conn in list(self._tcp_conns.values()):
+            try:
+                conn.transport.close()
+            except Exception:
+                pass
 
     # -- datagram interface -----------------------------------------------------
     def datagram_received(self, data: bytes, addr) -> None:
@@ -121,7 +214,7 @@ class SIPStack(asyncio.DatagramProtocol):
         if msg.method != "ACK":
             prev = self._server_last.get(branch_key)
             if prev is not None and time.monotonic() - prev[1] < 32.0:
-                self.transport.sendto(prev[0], addr)  # retransmission
+                self._send_to(prev[0], addr)  # retransmission
                 return
         # in-dialog?
         did = self._dialog_id(msg, as_uas=True)
@@ -179,7 +272,7 @@ class SIPStack(asyncio.DatagramProtocol):
                      if now - t >= 32.0]
             for k in stale:
                 del self._server_last[k]
-        self.transport.sendto(data, addr)
+        self._send_to(data, addr)
         return resp
 
     async def send_request(self, msg: SipMessage, addr,
@@ -195,7 +288,7 @@ class SIPStack(asyncio.DatagramProtocol):
         data = msg.build()
         interval = T1
         deadline = time.monotonic() + timeout
-        self.transport.sendto(data, addr)
+        self._send_to(data, addr)
         while True:
             try:
                 return await asyncio.wait_for(
@@ -206,7 +299,8 @@ class SIPStack(asyncio.DatagramProtocol):
                 if time.monotonic() >= deadline:
                     self._client_txns.pop(txn.branch, None)
                     raise TimeoutError(f"no response to {msg.method}")
-                self.transport.sendto(data, addr)
+                if not self.is_tcp(addr):  # no retransmission on streams
+                    self._send_to(data, addr)
                 interval = min(interval * 2, 4.0)
 
     def send_ack(self, invite: SipMessage, final: SipMessage, addr) -> None:
@@ -220,7 +314,7 @@ class SIPStack(asyncio.DatagramProtocol):
         ack.add("call-id", final.call_id)
         ack.add("cseq", f"{final.cseq[0]} ACK")
         ack.set("max-forwards", "70")
-        self.transport.sendto(ack.build(), addr)
+        self._send_to(ack.build(), addr)
 
     # -- request construction helper -----------------------------------------------
     def make_request(self, method: str, ruri: SipURI, from_na: NameAddr,

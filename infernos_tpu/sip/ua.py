@@ -116,6 +116,57 @@ class _InDialogMixin:
         if self.on_disconnect is not None:
             self.on_disconnect()
 
+    # -- UPDATE (RFC 3311) ------------------------------------------------------
+    def _handle_update(self, msg: SipMessage, addr) -> None:
+        """In-dialog UPDATE: session refresh (no body) or media update
+        (SDP offer -> immediate SDP answer in the 200; no ACK leg).
+        Beyond the reference (sippy handles UPDATE internally)."""
+        self._touch_session_timer()
+        if not msg.body:
+            extra = {}
+            if getattr(self, "session_expires", None):
+                extra["session-expires"] = \
+                    f"{self.session_expires};refresher=uac"
+            self.stack.send_response(msg, addr, 200, "OK", extra=extra)
+            return
+        try:
+            params = extract_rtp_params(msg.body.decode("utf-8", "replace"),
+                                        accept=self.accept_codecs)
+        except SdpNegotiationError:
+            self.stack.send_response(msg, addr, 488, "Not Acceptable Here")
+            return
+        laddr = None
+        if self.on_reinvite is not None:
+            laddr = self.on_reinvite(params)
+        elif getattr(self, "_media", None) is not None:
+            laddr = self._media[0]
+        if laddr is None:
+            self.stack.send_response(msg, addr, 488, "Not Acceptable Here")
+            return
+        body = build_sdp(laddr, params.codec, params.out_ptime).encode()
+        self.stack.send_response(msg, addr, 200, "OK", body=body)
+
+    async def update(self, rtp_laddr: Optional[Tuple[str, int]] = None,
+                     codec=None, ptime: int = 20):
+        """Originate an in-dialog UPDATE: refresh (no args) or new offer."""
+        if self.terminated:
+            raise CallFailed(481, "terminated")
+        msg = self.stack.make_request(
+            "UPDATE", self._route_uri(), self._local_na(),
+            self._remote_na(), call_id=self.call_id, cseq=self._next_cseq())
+        if rtp_laddr is not None:
+            msg.body = build_sdp(rtp_laddr, codec, ptime).encode()
+            msg.set("content-type", "application/sdp")
+        final = await self.stack.send_request(msg, self._dialog_addr(),
+                                              timeout=8.0)
+        if final.code != 200:
+            raise CallFailed(final.code, final.reason or "")
+        self._touch_session_timer()
+        if final.body:
+            return extract_rtp_params(final.body.decode("utf-8", "replace"),
+                                      accept=self.accept_codecs)
+        return None
+
 
 class SipSessInfo:
     """Call metadata exposed to apps (reference ``SIP/SipSessInfo.py``)."""
@@ -177,9 +228,47 @@ class UAS(_InDialogMixin):
         return extract_rtp_params(self.offer_sdp, accept=self.accept_codecs)
 
     # -- app decisions ----------------------------------------------------------
-    def ring(self) -> None:
-        self.stack.send_response(self.invite, self.addr, 180, "Ringing",
-                                 to_tag=self.local_tag)
+    def _peer_supports_100rel(self) -> bool:
+        for h in ("supported", "require"):
+            v = self.invite.get(h) or ""
+            if "100rel" in v.lower():
+                return True
+        return False
+
+    def ring(self, reliable: Optional[bool] = None) -> None:
+        """180 Ringing; reliable (RFC 3262) when the caller supports 100rel
+        (auto) -- retransmitted until PRACKed."""
+        if reliable is None:
+            reliable = self._peer_supports_100rel()
+        if not reliable:
+            self.stack.send_response(self.invite, self.addr, 180, "Ringing",
+                                     to_tag=self.local_tag)
+            return
+        self._rel_rseq = getattr(self, "_rel_rseq", 0) + 1
+        rseq = self._rel_rseq
+        resp = self.stack.send_response(
+            self.invite, self.addr, 180, "Ringing", to_tag=self.local_tag,
+            extra={"require": "100rel", "rseq": str(rseq)})
+        data = resp.build()
+        self._rel_pending = rseq
+
+        async def retransmit():
+            interval = 0.5
+            for _ in range(7):  # ~64*T1 overall
+                await asyncio.sleep(interval)
+                if getattr(self, "_rel_pending", None) != rseq \
+                        or self.answered or self.terminated:
+                    return
+                try:
+                    self.stack._send_to(data, self.addr)
+                except Exception:
+                    return
+                interval = min(interval * 2, 4.0)
+
+        try:
+            self._rel_task = asyncio.ensure_future(retransmit())
+        except RuntimeError:
+            self._rel_task = None  # no loop (tests); single shot
 
     def accept(self, rtp_laddr: Tuple[str, int], codec, ptime: int = 20) -> None:
         body = build_sdp(rtp_laddr, codec, ptime).encode()
@@ -243,6 +332,16 @@ class UAS(_InDialogMixin):
                                          "Request Terminated",
                                          to_tag=self.local_tag)
                 self._teardown(notify=True)
+            return
+        if msg.method == "UPDATE":
+            self._handle_update(msg, addr)
+            return
+        if msg.method == "PRACK":
+            # RAck: "<rseq> <cseq> <method>"
+            rack = (msg.get("rack") or "").split()
+            if rack and getattr(self, "_rel_pending", None) == int(rack[0]):
+                self._rel_pending = None  # stops the retransmit task
+            self.stack.send_response(msg, addr, 200, "OK")
             return
         self.stack.send_response(msg, addr, 501, "Not Implemented")
 
@@ -333,12 +432,39 @@ class UAC(_InDialogMixin):
         msg.set("content-type", "application/sdp")
         if session_expires:
             msg.set("session-expires", str(int(session_expires)))
-            msg.set("supported", "timer")
+            msg.set("supported", "timer, 100rel")
+        else:
+            msg.set("supported", "100rel")
         self._media = (rtp_laddr, codec, ptime)
         self.call_id = msg.call_id
         self.invite = msg
         self.remote_addr = addr
-        final = await self.stack.send_request(msg, addr)
+
+        inv_cseq = msg.cseq[0]
+        pracked = set()
+
+        def on_prov(resp):
+            # RFC 3262: acknowledge reliable provisionals with PRACK
+            rseq = (resp.get("rseq") or "").strip()
+            if not rseq or rseq in pracked:
+                return
+            pracked.add(rseq)
+            self._cseq += 1
+            prack = self.stack.make_request(
+                "PRACK", ruri, from_na, resp.to_na, call_id=self.call_id,
+                cseq=self._cseq, contact=False)
+            prack.set("rack", f"{rseq} {inv_cseq} INVITE")
+
+            async def send():
+                try:
+                    await self.stack.send_request(prack, addr, timeout=4.0)
+                except (TimeoutError, Exception):
+                    pass
+
+            asyncio.ensure_future(send())
+
+        final = await self.stack.send_request(msg, addr,
+                                              on_provisional=on_prov)
         if final.code in (401, 407) and username:
             # digest challenge: retry with credentials
             chal = final.get("www-authenticate") or final.get("proxy-authenticate")
@@ -419,6 +545,9 @@ class UAC(_InDialogMixin):
                 return
             body = build_sdp(laddr, params.codec, params.out_ptime).encode()
             self.stack.send_response(msg, addr, 200, "OK", body=body)
+            return
+        if msg.method == "UPDATE":
+            self._handle_update(msg, addr)
             return
         self.stack.send_response(msg, addr, 501, "Not Implemented")
 

@@ -147,6 +147,7 @@ def test_server_txn_cache_evicts_stale_entries(monkeypatch):
     st = stack_mod.SIPStack.__new__(stack_mod.SIPStack)
     st._server_last = {}
     st._server_last_sweep = 0.0
+    st._tcp_conns = {}
 
     class _FakeTransport:
         def sendto(self, data, addr):
