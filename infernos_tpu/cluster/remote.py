@@ -116,7 +116,7 @@ class Connection:
     def __init__(self, sock: socket.socket, name: str = "peer",
                  on_close: Optional[Callable[["Connection"], None]] = None,
                  send_queue: int = 4096, send_timeout: float = 5.0,
-                 heartbeat_s: float = 2.0, dead_after_s: float = 7.0):
+                 heartbeat_s: float = 5.0, dead_after_s: float = 20.0):
         import collections
         import time as _time
 

@@ -245,6 +245,8 @@ class TTSEngine:
     # -- decode ---------------------------------------------------------------
 
     def _use_fused_step(self) -> bool:
+        if "w" not in self.params["dec_layers"]["self_attn"]["q"]:
+            return False  # int8-quantized decoder: kernel is bf16-dense only
         if self.ecfg.fused_step is not None:
             return self.ecfg.fused_step
         try:

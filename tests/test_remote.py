@@ -44,7 +44,10 @@ class _ChildProc:
         line = self.proc.stdout.readline()
         assert line.startswith("PORT "), line
         self.port = int(line.split()[1])
-        self.conn = remote.connect(("127.0.0.1", self.port))
+        # heartbeat off: the 1-core CI host starves this process for
+        # >dead_after_s during model compiles (production keeps it on)
+        self.conn = remote.connect(("127.0.0.1", self.port),
+                                   heartbeat_s=0)
 
     def close(self):
         self.conn.close()
