@@ -103,6 +103,19 @@ def _noise(rng: np.random.Generator, seconds: float) -> np.ndarray:
     return (0.5 * x / peak).astype(np.float32)
 
 
+def telephone_channel(audio16: np.ndarray) -> np.ndarray:
+    """The serving path's channel: 16k -> 8k -> G.711 u-law -> 8k -> 16k
+    (bandlimit + quantization noise).  Training through it removes the
+    clean-audio domain shift the RTP leg would otherwise introduce."""
+    from infernos_tpu.audio.codecs import G711Codec
+    from infernos_tpu.audio.resample import resample
+
+    codec = G711Codec()
+    a8 = resample(audio16, 16000, 8000)
+    a8 = codec.decode(codec.encode(a8))
+    return resample(np.asarray(a8, np.float32).reshape(-1), 8000, 16000)
+
+
 def make_example(rng: np.random.Generator, tok: ByteLevelBPE):
     """(mel [M, T], ids, sot_idx, is_silence)."""
     sp = tok.special
@@ -124,6 +137,8 @@ def make_example(rng: np.random.Generator, tok: ByteLevelBPE):
                 and len(ids) <= MAX_TGT):
             break
         ctx = None  # retry shorter
+    if rng.random() < 0.5:
+        audio = telephone_channel(audio)
     mel = log_mel_np(audio, N_MELS)[0]
     sot_idx = len(prompt) - 4
     return mel, ids, sot_idx, is_silence
