@@ -34,7 +34,7 @@ class AIABenchResult:
 
 def run_aia_bench(sip_bind, n_calls: int = 4, turns: int = 2,
                   utter_s: float = 1.4, turn_timeout: float = 90.0,
-                  seed: int = 42) -> AIABenchResult:
+                  seed: int = 42, utter_fn=None) -> AIABenchResult:
     phones: List[FakePhone] = []
     try:
         for i in range(n_calls):
@@ -53,10 +53,15 @@ def run_aia_bench(sip_bind, n_calls: int = 4, turns: int = 2,
             nonlocal failures
             crng = np.random.default_rng(seed + 2000 + pi)
             for turn in range(turns):
-                utter = _utterance(crng, utter_s)
+                if utter_fn is not None:
+                    utter = utter_fn(crng)
+                    dur = len(utter) / 8000.0
+                else:
+                    utter = _utterance(crng, utter_s)
+                    dur = utter_s
                 n_before = len(phone.rx_packets)
                 phone.stream_bg(utter, then_silence=True)  # silence: 2s flush
-                t_eos = time.monotonic() + utter_s
+                t_eos = time.monotonic() + dur
                 got = None
                 deadline = t_eos + turn_timeout
                 while time.monotonic() < deadline:
@@ -113,7 +118,14 @@ def main() -> None:
     ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--turns", type=int, default=2)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--tiny-real", action="store_true",
+                    help="serve the in-repo-trained tiny STT/LLM/TTS trio "
+                         "and speak real speechlang intents")
     args = ap.parse_args()
+    if args.tiny_real:
+        import os
+
+        os.environ["INFERNOS_MODEL_MODE"] = "tiny-real"
 
     cfg_text = textwrap.dedent("""
         sip:
@@ -157,8 +169,12 @@ def main() -> None:
     build_cluster(iconf, tiny=not args.full, bind_ip="127.0.0.1",
                   stt_actr=stt_actr)
     try:
+        from .ltbench import speechlang_utterance
+
         r = run_aia_bench(iconf.sip_conf.bind, n_calls=args.calls,
-                          turns=args.turns)
+                          turns=args.turns,
+                          utter_fn=(speechlang_utterance if args.tiny_real
+                                    else None))
         print(json.dumps(dataclasses.asdict(r)))
     finally:
         stop_all()

@@ -110,6 +110,25 @@ def _utterance(rng: np.random.Generator, seconds: float) -> np.ndarray:
                 * (1 + 0.2 * rng.standard_normal(len(t)))).astype(np.float32)
 
 
+def speechlang_utterance(rng: np.random.Generator):
+    """Real speechlang words rendered to 8 kHz G.711-band audio, for
+    serving runs in tiny-real mode (trained STT/TTS/LLM): the pipeline's
+    transcripts, replies and speech are then all real."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+    from tools.speechlang import render_text
+    from tools.train_tiny_llm import _intent_utterance
+
+    from ..audio.resample import resample
+
+    text = _intent_utterance(rng)
+    a16 = render_text(rng, text)
+    a8 = np.asarray(resample(a16, 16000, 8000), np.float32).reshape(-1)
+    return (0.5 * a8).astype(np.float32)
+
+
 @dataclasses.dataclass
 class LTBenchResult:
     n_calls: int
@@ -122,7 +141,8 @@ class LTBenchResult:
 
 def run_lt_bench(sip_bind, far_end: MultiFarEnd, n_calls: int = 4,
                  turns: int = 3, utter_s: float = 1.6,
-                 turn_timeout: float = 60.0, seed: int = 42) -> LTBenchResult:
+                 turn_timeout: float = 60.0, seed: int = 42,
+                 utter_fn=None) -> LTBenchResult:
     """Drive ``n_calls`` concurrent LT calls; ``turns`` utterances each."""
     rng = np.random.default_rng(seed)
     phones: List[FakePhone] = []
@@ -159,10 +179,15 @@ def run_lt_bench(sip_bind, far_end: MultiFarEnd, n_calls: int = 4,
                     if time.monotonic() - last > 0.6:
                         break
                     time.sleep(0.1)
-                utter = _utterance(crng, utter_s)
+                if utter_fn is not None:
+                    utter = utter_fn(crng)
+                    dur = len(utter) / 8000.0
+                else:
+                    utter = _utterance(crng, utter_s)
+                    dur = utter_s
                 n_before = len(entry["rx"])
                 phone.stream_bg(utter, then_silence=True)
-                t_eos = time.monotonic() + utter_s  # end of speech
+                t_eos = time.monotonic() + dur  # end of speech
                 # wait for first NEW B-leg packet after end-of-speech
                 got = None
                 deadline = t_eos + turn_timeout
@@ -449,6 +474,10 @@ def main() -> None:
     ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--turns", type=int, default=3)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--tiny-real", action="store_true",
+                    help="serve the in-repo-trained tiny STT/TTS/LLM and "
+                         "speak real speechlang utterances (measured, not "
+                         "extrapolated, turn latency)")
     ap.add_argument("--ramp", action="store_true",
                     help="ramp N concurrent calls until the turn SLA breaks "
                          "and report lt_calls_per_chip (the north-star)")
@@ -488,6 +517,8 @@ def main() -> None:
     iconf = InfernConfig(path)
     import os
 
+    if args.tiny_real:
+        os.environ["INFERNOS_MODEL_MODE"] = "tiny-real"
     t0 = time.monotonic()
     build_cluster(iconf, tiny=not args.full, bind_ip="127.0.0.1")
     startup_s = time.monotonic() - t0
@@ -517,7 +548,9 @@ def main() -> None:
             print(json.dumps(out))
         else:
             r = run_lt_bench(iconf.sip_conf.bind, far, n_calls=args.calls,
-                             turns=args.turns)
+                             turns=args.turns,
+                             utter_fn=(speechlang_utterance if args.tiny_real
+                                       else None))
             print(json.dumps(dataclasses.asdict(r)))
     finally:
         stop_all()

@@ -314,6 +314,15 @@ class LLMActor(Actor):
         self.tokenizer = ByteTokenizer()
 
     def start(self) -> None:
+        import os as _os3
+
+        if _os3.environ.get("INFERNOS_MODEL_MODE") == "tiny-real":
+            from ..models import tiny_real
+
+            if tiny_real.have_tiny_llm():
+                return self._start_tiny_real()
+            log.warning("INFERNOS_MODEL_MODE=tiny-real but no trained tiny "
+                        "LLM checkpoint; falling back")
         # full single-chip serving runs the 7B at int8 (8.7 GB weights; the
         # reference's 14B target, Cluster/InfernLLMWorker.py:64, needs a
         # tp mesh over a v5e-4 -- LLMEngine(mesh=...) + QWEN25_14B then)
@@ -366,6 +375,23 @@ class LLMActor(Actor):
         self.driver = EngineDriver(self.engine, name="llm")
         self.driver.start()
         log.info("LLMActor started (tiny=%s)", self.tiny)
+
+    def _start_tiny_real(self) -> None:
+        """Serve the in-repo-trained attendant LLM (tools/train_tiny_llm.py):
+        real replies within the speechlang vocabulary, eos fires from data."""
+        from ..models import tiny_real
+
+        params, cfg = tiny_real.load_tiny_llm()
+        # trainer examples are <=384 tokens; leave generation headroom
+        ecfg = self.ecfg or LLMEngineConfig(
+            batch_slots=4, prompt_buckets=(128, 256, 384),
+            max_total_tokens=448, max_new_tokens=64)
+        self.engine = LLMEngine(params, cfg, ecfg,
+                                detokenize=self.tokenizer.detokenize)
+        self.engine.warmup()
+        self.driver = EngineDriver(self.engine, name="llm")
+        self.driver.start()
+        log.info("LLMActor started (tiny-real trained attendant)")
 
     def on_stop(self) -> None:
         if self.driver:

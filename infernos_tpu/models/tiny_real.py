@@ -93,6 +93,25 @@ def load_tiny_stt():
     return params, cfg, tok, ecfg
 
 
+def have_tiny_llm() -> bool:
+    return os.path.exists(os.path.join(data_path("tiny_llm"), "params.npz"))
+
+
+def load_tiny_llm():
+    """-> (params, QwenConfig).
+
+    Trained by ``tools/train_tiny_llm.py`` on the attendant-policy dialogue
+    task; serving tokenizer is the plain :class:`ByteTokenizer` (the
+    trainer encodes ChatML with it, so no tokenizer files are needed).
+    """
+    from .qwen import QwenConfig
+
+    d = data_path("tiny_llm")
+    cfg = _load_cfg(d, QwenConfig)
+    params = load_params(os.path.join(d, "params.npz"))
+    return params, cfg
+
+
 def load_tiny_tts():
     """-> (t5_params, SpeechT5Config, voc_params, HifiGanConfig,
     tokenizer, speaker_table [N, spk_dim])."""
