@@ -195,40 +195,54 @@ def tiny_config() -> qwen.QwenConfig:
 
 # -- eval ---------------------------------------------------------------------
 
-def greedy_reply(params, cfg, tok, context, max_new=64):
-    prompt = apply_chat_template(context)
-    ids = tok(prompt).astype(np.int32)
-    logits, _, _ = qwen.prefill(params, cfg, jnp.asarray(ids[None, :]))
-    buf = list(ids)
-    out = []
-    # teacher-free continuation via repeated prefill (eval only; serving
-    # uses the KV-cached engine path)
-    nxt = int(jnp.argmax(logits[0, -1]))
+def greedy_replies(params, cfg, tok, contexts, max_new=48):
+    """Lockstep batched greedy over ragged prompts with a FIXED-shape
+    buffer (one compile, ``max_new`` dispatches total): per-row frontier
+    indices into a right-padded [B, MAX_LEN] buffer; causality makes the
+    padding past each row's frontier inert."""
+    B = len(contexts)
+    prompts = [tok(apply_chat_template(c)).astype(np.int32)
+               for c in contexts]
+    buf = np.zeros((B, MAX_LEN), np.int32)
+    f = np.asarray([len(p) for p in prompts], np.int32)
+    for i, p in enumerate(prompts):
+        buf[i, : len(p)] = p
+
+    @jax.jit
+    def step(buf, f):
+        logits, _, _ = qwen.prefill(params, cfg, buf)
+        return jnp.argmax(
+            logits[jnp.arange(buf.shape[0]), f - 1], axis=-1).astype(jnp.int32)
+
+    done = np.zeros(B, bool)
+    outs = [[] for _ in range(B)]
     for _ in range(max_new):
-        if nxt == EOS:
+        nxt = np.asarray(step(jnp.asarray(buf), jnp.asarray(f)))
+        for i in range(B):
+            if done[i]:
+                continue
+            if int(nxt[i]) == EOS or f[i] >= MAX_LEN - 1:
+                done[i] = True
+                continue
+            outs[i].append(int(nxt[i]))
+            buf[i, f[i]] = nxt[i]
+            f[i] += 1
+        if done.all():
             break
-        out.append(nxt)
-        buf.append(nxt)
-        logits, _, _ = qwen.prefill(
-            params, cfg, jnp.asarray(np.asarray(buf, np.int32)[None, :]))
-        nxt = int(jnp.argmax(logits[0, -1]))
-    return tok.detokenize(out)
+    return [tok.detokenize(o) for o in outs]
 
 
 def evaluate(params, cfg, tok, n_dialogues=20, seed=10_000):
     rng = np.random.default_rng(seed)
-    ok = tot = 0
-    shown = 0
-    for _ in range(n_dialogues):
-        for ctx, ref in make_dialogue(rng):
-            hyp = greedy_reply(params, cfg, tok, ctx)
-            tot += 1
-            ok += hyp == ref
-            if shown < 6:
-                print(f"  ref: {ref!r}\n  hyp: {hyp!r}")
-                shown += 1
-    acc = ok / max(1, tot)
-    print(f"held-out reply exact-match: {acc:.3f} ({ok}/{tot})")
+    pairs = [p for _ in range(n_dialogues) for p in make_dialogue(rng)]
+    pairs = [p for p in pairs
+             if encode_example(tok, p[0], p[1]) is not None]
+    hyps = greedy_replies(params, cfg, tok, [c for c, _ in pairs])
+    ok = sum(h == r for h, (_, r) in zip(hyps, pairs))
+    for h, (_, r) in list(zip(hyps, pairs))[:6]:
+        print(f"  ref: {r!r}\n  hyp: {h!r}")
+    acc = ok / max(1, len(pairs))
+    print(f"held-out reply exact-match: {acc:.3f} ({ok}/{len(pairs)})")
     return acc
 
 
@@ -269,6 +283,13 @@ def main() -> None:
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    def save(params):
+        os.makedirs(OUT, exist_ok=True)
+        save_params(os.path.join(OUT, "params.npz"), params)
+        with open(os.path.join(OUT, "config.json"), "w") as f:
+            json.dump({k: getattr(cfg, k) for k in cfg.__dataclass_fields__},
+                      f, indent=2)
+
     t0 = time.time()
     for step in range(a.steps):
         toks, tgt, mask = make_batch(rng, tok, a.batch)
@@ -278,12 +299,10 @@ def main() -> None:
         if step % 100 == 0 or step == a.steps - 1:
             print(f"step {step} loss {float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if step and step % 1000 == 0:
+            save(params)  # crash-resumable partial checkpoint
 
-    os.makedirs(OUT, exist_ok=True)
-    save_params(os.path.join(OUT, "params.npz"), params)
-    with open(os.path.join(OUT, "config.json"), "w") as f:
-        json.dump({k: getattr(cfg, k) for k in cfg.__dataclass_fields__},
-                  f, indent=2)
+    save(params)
     print(f"saved to {OUT}")
     evaluate(params, cfg, tok)
 

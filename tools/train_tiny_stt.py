@@ -305,6 +305,17 @@ def main() -> None:
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        def save(params):
+            os.makedirs(os.path.join(OUT, "tokenizer"), exist_ok=True)
+            save_params(os.path.join(OUT, "params.npz"), params)
+            with open(os.path.join(OUT, "config.json"), "w") as f:
+                json.dump({k: getattr(cfg, k)
+                           for k in cfg.__dataclass_fields__}, f, indent=2)
+            tok.save(os.path.join(OUT, "tokenizer", "vocab.json"),
+                     os.path.join(OUT, "tokenizer", "merges.txt"))
+            with open(os.path.join(OUT, "special_tokens.json"), "w") as f:
+                json.dump(tok.special, f, indent=2)
+
         server = DataServer(tok, seed=a.seed + 1)
         t0 = time.time()
         for step in range(a.steps):
@@ -316,17 +327,11 @@ def main() -> None:
                 print(f"step {step} loss {float(loss):.4f} "
                       f"buf {len(server.buf)} gen {server.generated} "
                       f"({time.time()-t0:.0f}s)", flush=True)
+            if step and step % 1000 == 0:
+                save(params)  # crash-resumable partial checkpoint
         server.close()
 
-        os.makedirs(os.path.join(OUT, "tokenizer"), exist_ok=True)
-        save_params(os.path.join(OUT, "params.npz"), params)
-        with open(os.path.join(OUT, "config.json"), "w") as f:
-            json.dump({k: getattr(cfg, k) for k in cfg.__dataclass_fields__},
-                      f, indent=2)
-        tok.save(os.path.join(OUT, "tokenizer", "vocab.json"),
-                 os.path.join(OUT, "tokenizer", "merges.txt"))
-        with open(os.path.join(OUT, "special_tokens.json"), "w") as f:
-            json.dump(tok.special, f, indent=2)
+        save(params)
         print(f"saved to {OUT}")
 
     # held-out eval (fresh rng stream; skip silence/context examples so
