@@ -178,14 +178,19 @@ def make_batch(rng: np.random.Generator, tok: ByteLevelBPE, batch: int):
 class DataServer:
     """Replay buffer refilled by worker threads (scipy/numpy release the
     GIL): training samples batches immediately while fresh augmented
-    examples stream in, so the jit step, not synthesis, sets the pace."""
+    examples stream in, so the jit step, not synthesis, sets the pace.
+
+    Once the buffer is full, refills THROTTLE (sleep per example): on a
+    small host the unthrottled workers otherwise eat the CPU the training
+    loop needs (measured: 190 s/100 steps vs 20 s with throttling)."""
 
     def __init__(self, tok: ByteLevelBPE, seed: int, size: int = 2048,
-                 workers: int = 8):
+                 workers: int = 4, refresh_sleep: float = 0.1):
         import threading
 
         self.tok = tok
         self.size = size
+        self.refresh_sleep = refresh_sleep
         self.buf: list = []
         self.lock = threading.Lock()
         self.stop = False
@@ -198,15 +203,20 @@ class DataServer:
             t.start()
 
     def _fill(self, seed: int) -> None:
+        import time as _t
+
         rng = np.random.default_rng(seed)
         while not self.stop:
             ex = make_example(rng, self.tok)
             with self.lock:
-                if len(self.buf) < self.size:
+                full = len(self.buf) >= self.size
+                if not full:
                     self.buf.append(ex)
                 else:
                     self.buf[int(rng.integers(0, self.size))] = ex
                 self.generated += 1
+            if full:
+                _t.sleep(self.refresh_sleep)
 
     def batch(self, rng: np.random.Generator, batch: int):
         import time as _t

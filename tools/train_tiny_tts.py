@@ -133,12 +133,16 @@ def assemble(examples):
 
 
 class DataServer:
+    """Throttles refills once full so synthesis threads don't starve the
+    training loop's host work (same rationale as train_tiny_stt)."""
+
     def __init__(self, tok, speakers, seed: int, size: int = 1536,
-                 workers: int = 8):
+                 workers: int = 4, refresh_sleep: float = 0.1):
         import threading
 
         self.tok, self.speakers = tok, speakers
         self.size = size
+        self.refresh_sleep = refresh_sleep
         self.buf: list = []
         self.lock = threading.Lock()
         self.stop = False
@@ -150,15 +154,20 @@ class DataServer:
             t.start()
 
     def _fill(self, seed: int) -> None:
+        import time as _t
+
         rng = np.random.default_rng(seed)
         while not self.stop:
             ex = make_example(rng, self.tok, self.speakers)
             with self.lock:
-                if len(self.buf) < self.size:
+                full = len(self.buf) >= self.size
+                if not full:
                     self.buf.append(ex)
                 else:
                     self.buf[int(rng.integers(0, self.size))] = ex
                 self.generated += 1
+            if full:
+                _t.sleep(self.refresh_sleep)
 
     def sample(self, rng: np.random.Generator, batch: int):
         import time as _t
