@@ -87,6 +87,18 @@ def main() -> None:
                 "--sla", os.environ.get("BENCH_LT_SLA", "3.5")]
         lt, _ = _run(args, env_extra=env_extra, timeout=3600)
 
+    # -- loopback QA on the in-repo-trained tiny pair (similarity is the
+    # -- realness check: VERDICT r2 item 2 'Done' criterion) ------------------
+    loopback = None
+    if os.environ.get("BENCH_LOOPBACK", "1") not in ("", "0"):
+        have = os.path.exists(os.path.join(
+            REPO, "infernos_tpu", "models", "data", "tiny_stt", "params.npz"))
+        if have:
+            time.sleep(95.0)  # tunnel claim cooldown
+            loopback, _ = _run(["-m", "infernos_tpu.bench.loopback",
+                                "--speakers", "4", "--prompts", "2"],
+                               timeout=1800, attempts=1)
+
     if lt is not None and lt.get("value", 0) > 0:
         result = dict(lt)
         result.setdefault("detail", {})["tts_paced"] = tts
@@ -98,6 +110,9 @@ def main() -> None:
                   "unit": "concurrent two-leg LT calls",
                   "vs_baseline": 0.0,
                   "detail": {"error": "both benches failed"}}
+    if loopback is not None:
+        result.setdefault("detail", {})["loopback_similarity"] = {
+            k: loopback.get(k) for k in ("value", "detail")}
     print(json.dumps(result))
 
 
