@@ -37,6 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7): Pallas TPU
+    lowering implements neither ``erf`` nor ``erfc``, so exact GELU is
+    computed from elementary ops (f32 indistinguishable from lax.erf)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(h):
+    return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+
+
 def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     # scalar-prefetch
     maxpos_ref,            # SMEM [1] int32: max(pos)+1 over active slots
@@ -219,7 +237,7 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         x = x_scr[:]
         d1.wait()
         hmid = matmul(x, w1b) + b1_ref[l][None, :]
-        hmid = jax.nn.gelu(hmid, approximate=False)
+        hmid = _gelu_exact(hmid)
         d2.wait()
         h = matmul(hmid, w2b) + sm[B2][None, :]
         x_scr[:] = ln(x + h, LN3G, LN3B)

@@ -249,10 +249,12 @@ class TTSEngine:
             return False  # int8-quantized decoder: kernel is bf16-dense only
         if self.ecfg.fused_step is not None:
             return self.ecfg.fused_step
-        try:
-            return jax.devices()[0].platform == "tpu"
-        except RuntimeError:
-            return False
+        # default OFF: the first-generation kernel's [B, D] -> [B, H, Dh]
+        # head split is a lane-dim shape cast Mosaic cannot lower (measured
+        # on v5e: "infer-vector-layout: unsupported shape cast"); opt in
+        # explicitly (ecfg.fused_step=True) for A/B once the per-head
+        # matmul variant lands
+        return False
 
     def _decode_chunk(self, params, state: TTSState, rng, paused, *,
                       n_frames: int):
