@@ -12,6 +12,15 @@ HBM with online softmax, dead chunks skipped at runtime), cross-attention
 over the precomputed encoder K/V, and the FFN -- with weights DMA'd once
 per layer into reused VMEM buffers.
 
+Mosaic-lowering constraints shaped the design (all measured on v5e):
+- no lane-dim shape casts: attention runs PER HEAD with pre-split weights
+  ([L, H, D, Dh] projections; [L, H, Dh, D] output projections whose
+  per-head products are accumulated, so heads never concatenate);
+- neither ``erf`` nor ``erfc`` lowers: exact GELU uses the A-S 7.1.26
+  rational erf (6.6e-7 max diff, elementary ops only);
+- new K/V rows are emitted [H, B, Dh]-major so each per-head store is a
+  contiguous (sublane, lane) block.
+
 Replaces ``models.speecht5.decode_step``'s layer scan for serving; the
 XLA path remains the oracle (``tests/test_tts_fused_step.py`` checks
 parity in interpreter mode).  Cache WRITES stay in XLA (vmapped
@@ -61,17 +70,21 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     # inputs
     x0_ref,                # VMEM [B, D] f32 (prenet output)
     pos_ref,               # VMEM [B, 1] int32 per-slot write position
-    encbias_ref,           # VMEM [B, S] f32 additive cross mask
-    sqw_ref, skw_ref, svw_ref, sow_ref, cqw_ref, cow_ref,  # ANY [L, D, D]
+    encb_ref,              # VMEM [Nc, B, chunk] f32 chunked cross bias
+    sqw_ref, skw_ref, svw_ref,  # ANY [L, H, D, Dh]
+    sow_ref,               # ANY [L, H, Dh, D]
+    cqw_ref,               # ANY [L, H, D, Dh]
+    cow_ref,               # ANY [L, H, Dh, D]
     w1_ref,                # ANY [L, D, F]
     w2_ref,                # ANY [L, F, D]
-    smalls_ref,            # VMEM [L, 13, D] f32 (biases + LN params)
+    smalls_ref,            # VMEM [L, 9, D] f32 (D-wide biases + LN params)
+    headb_ref,             # VMEM [L, 4, H, Dh] f32 (sq, sk, sv, cq biases)
     b1_ref,                # VMEM [L, F] f32
     selfk_ref, selfv_ref,  # ANY [L, B, H, Tmax, Dh]
     crossk_ref, crossv_ref,  # ANY [L, B, H, S, Dh]
     # outputs
     xout_ref,              # VMEM [B, D] f32
-    knew_ref, vnew_ref,    # VMEM [L_block=1, B, D]
+    knew_ref, vnew_ref,    # VMEM [L_block=1, H, B, Dh]
     # scratch
     x_scr,                 # VMEM [B, D] f32 (carried hidden)
     *,
@@ -85,7 +98,7 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     H = n_heads
     Dh = D // H
     F = b1_ref.shape[1]
-    S = encbias_ref.shape[1]
+    S = crossk_ref.shape[3]
     Tmax = selfk_ref.shape[3]
     scale = Dh ** -0.5
 
@@ -93,9 +106,10 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     def _():
         x_scr[:] = x0_ref[:]
 
-    sm = smalls_ref[l]  # [13, D] f32
-    (BSQ, BSK, BSV, BSO, BCQ, BCO, B2,
-     LN1G, LN1B, LN2G, LN2B, LN3G, LN3B) = range(13)
+    sm = smalls_ref[l]   # [9, D] f32
+    hb = headb_ref[l]    # [4, H, Dh] f32
+    (BSO, BCO, B2, LN1G, LN1B, LN2G, LN2B, LN3G, LN3B) = range(9)
+    (HQ, HK, HV, HCQ) = range(4)
 
     def ln(x, gi, bi):
         mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -110,121 +124,142 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
             preferred_element_type=jnp.float32)
 
     # ---------------- phase A: self-attention + cross-attention -------------
-    def attn_phase(wbuf, kcb, vcb, acc, mrow, drow, sems):
-        # wbuf: [6, D, D] bf16; kcb/vcb: [B, H, chunk, Dh] bf16
-        # acc: [B, H, Dh] f32; mrow/drow: [B, H] f32
-        wdmas = [pltpu.make_async_copy(ref.at[l], wbuf.at[i], sems.at[i])
-                 for i, ref in enumerate((sqw_ref, skw_ref, svw_ref, sow_ref,
-                                          cqw_ref, cow_ref))]
+    def attn_phase(wq, wk, wv, wo, wcq, wco, kcb, vcb,
+                   acc, mrow, drow, hacc, sems):
+        # wq/wk/wv/wcq: [H, D, Dh] bf16; wo/wco: [H, Dh, D] bf16
+        # kcb/vcb: [B, chunk, Dh] cache_dtype (per-head streaming buffers)
+        # acc: [B, Dh] f32; mrow/drow: [B, 1] f32; hacc: [B, D] f32
+        wdmas = [pltpu.make_async_copy(ref.at[l], buf, sems.at[i])
+                 for i, (ref, buf) in enumerate((
+                     (sqw_ref, wq), (skw_ref, wk), (svw_ref, wv),
+                     (sow_ref, wo), (cqw_ref, wcq), (cow_ref, wco)))]
         for d in wdmas:
             d.start()
-        wdmas[0].wait()
+        for d in wdmas:
+            d.wait()
         x = x_scr[:]
-        q = matmul(x, wbuf.at[0]) * scale + sm[BSQ][None, :] * scale
-        wdmas[1].wait()
-        k_new = matmul(x, wbuf.at[1]) + sm[BSK][None, :]
-        wdmas[2].wait()
-        v_new = matmul(x, wbuf.at[2]) + sm[BSV][None, :]
-        knew_ref[0] = k_new.astype(knew_ref.dtype)
-        vnew_ref[0] = v_new.astype(vnew_ref.dtype)
-
-        qh = q.reshape(B, H, Dh)
         maxpos = maxpos_ref[0]
         posv = pos_ref[:]  # [B, 1] int32
 
-        mrow[:] = jnp.full((B, H), NEG_INF, jnp.float32)
-        drow[:] = jnp.zeros((B, H), jnp.float32)
-        acc[:] = jnp.zeros((B, H, Dh), jnp.float32)
+        n_chunks = (Tmax + chunk - 1) // chunk
+        hacc[:] = jnp.zeros((B, D), jnp.float32)
+        for h in range(H):
+            q_h = (matmul(x, wq.at[h]) + hb[HQ, h][None, :]) * scale
+            k_h = matmul(x, wk.at[h]) + hb[HK, h][None, :]
+            v_h = matmul(x, wv.at[h]) + hb[HV, h][None, :]
+            knew_ref[0, h] = k_h.astype(knew_ref.dtype)
+            vnew_ref[0, h] = v_h.astype(vnew_ref.dtype)
 
-        n_chunks = Tmax // chunk
-        for c in range(n_chunks):
-            @pl.when(c * chunk < maxpos)
-            def _(c=c):
-                kd = pltpu.make_async_copy(
-                    selfk_ref.at[l, :, :, pl.ds(c * chunk, chunk), :],
-                    kcb, sems.at[6])
-                vd = pltpu.make_async_copy(
-                    selfv_ref.at[l, :, :, pl.ds(c * chunk, chunk), :],
-                    vcb, sems.at[7])
-                kd.start()
-                vd.start()
-                kd.wait()
-                # scores [B, H, chunk] on the VPU (single-query attention)
-                kc = kcb[:].astype(jnp.float32)
-                scores = jnp.sum(qh[:, :, None, :] * kc, axis=-1)
-                kpos = (c * chunk
-                        + jax.lax.broadcasted_iota(jnp.int32, (B, 1, chunk),
-                                                   2))
-                valid = kpos < posv[:, :, None]  # [B, 1, chunk]
-                scores = jnp.where(valid, scores, NEG_INF)
-                m_new = jnp.maximum(mrow[:], jnp.max(scores, axis=-1))
-                alpha = jnp.exp(mrow[:] - m_new)
-                p = jnp.exp(scores - m_new[:, :, None])
-                vd.wait()
-                vc = vcb[:].astype(jnp.float32)
-                acc[:] = (acc[:] * alpha[:, :, None]
-                          + jnp.sum(p[:, :, :, None] * vc, axis=2))
-                drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1)
-                mrow[:] = m_new
+            mrow[:] = jnp.full((B, 1), NEG_INF, jnp.float32)
+            drow[:] = jnp.zeros((B, 1), jnp.float32)
+            acc[:] = jnp.zeros((B, Dh), jnp.float32)
 
-        # current token (the row the caller writes at pos): score vs itself
-        kh = k_new.reshape(B, H, Dh)
-        vh = v_new.reshape(B, H, Dh)
-        s_cur = jnp.sum(qh * kh, axis=-1)  # [B, H]
-        m_new = jnp.maximum(mrow[:], s_cur)
-        alpha = jnp.exp(mrow[:] - m_new)
-        p_cur = jnp.exp(s_cur - m_new)
-        acc[:] = acc[:] * alpha[:, :, None] + p_cur[:, :, None] * vh
-        drow[:] = drow[:] * alpha + p_cur
-        out = (acc[:] / drow[:][:, :, None]).reshape(B, D)
-        wdmas[3].wait()
-        h = matmul(out, wbuf.at[3]) + sm[BSO][None, :]
-        x = ln(x + h, LN1G, LN1B)
+            for c in range(n_chunks):
+                w = min(chunk, Tmax - c * chunk)
+
+                @pl.when(c * chunk < maxpos)
+                def _(c=c, w=w, q_h=q_h):
+                    kd = pltpu.make_async_copy(
+                        selfk_ref.at[l, :, h, pl.ds(c * chunk, w), :],
+                        kcb.at[:, pl.ds(0, w), :], sems.at[6])
+                    vd = pltpu.make_async_copy(
+                        selfv_ref.at[l, :, h, pl.ds(c * chunk, w), :],
+                        vcb.at[:, pl.ds(0, w), :], sems.at[7])
+                    kd.start()
+                    vd.start()
+                    if w < chunk:  # stale tail would poison the softmax
+                        kcb[:, pl.ds(w, chunk - w), :] = jnp.zeros(
+                            (B, chunk - w, Dh), kcb.dtype)
+                        vcb[:, pl.ds(w, chunk - w), :] = jnp.zeros(
+                            (B, chunk - w, Dh), vcb.dtype)
+                    kd.wait()
+                    kc = kcb[:].astype(jnp.float32)  # [B, chunk, Dh]
+                    scores = jnp.sum(q_h[:, None, :] * kc, axis=-1)
+                    kpos = (c * chunk
+                            + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (B, chunk), 1))
+                    valid = kpos < posv  # [B, chunk]
+                    scores = jnp.where(valid, scores, NEG_INF)
+                    m_new = jnp.maximum(
+                        mrow[:], jnp.max(scores, axis=-1, keepdims=True))
+                    alpha = jnp.exp(mrow[:] - m_new)  # [B, 1]
+                    p = jnp.exp(scores - m_new)       # [B, chunk]
+                    vd.wait()
+                    vc = vcb[:].astype(jnp.float32)
+                    acc[:] = (acc[:] * alpha
+                              + jnp.sum(p[:, :, None] * vc, axis=1))
+                    drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+                    mrow[:] = m_new
+
+            # current token (the row the caller writes at pos)
+            s_cur = jnp.sum(q_h * k_h, axis=-1, keepdims=True)  # [B, 1]
+            m_new = jnp.maximum(mrow[:], s_cur)
+            alpha = jnp.exp(mrow[:] - m_new)
+            p_cur = jnp.exp(s_cur - m_new)
+            out_h = (acc[:] * alpha + p_cur * v_h) \
+                / (drow[:] * alpha + p_cur)
+            hacc[:] = hacc[:] + matmul(out_h, wo.at[h])
+
+        h_attn = hacc[:] + sm[BSO][None, :]
+        x = ln(x + h_attn, LN1G, LN1B)
 
         # ---- cross attention (chunk-stream encoder K/V, reuse buffers) ----
-        wdmas[4].wait()
-        qc = (matmul(x, wbuf.at[4]) + sm[BCQ][None, :]) * scale
-        qch = qc.reshape(B, H, Dh)
-        mrow[:] = jnp.full((B, H), NEG_INF, jnp.float32)
-        drow[:] = jnp.zeros((B, H), jnp.float32)
-        acc[:] = jnp.zeros((B, H, Dh), jnp.float32)
-        n_cchunks = S // chunk if S % chunk == 0 else S // chunk + 1
-        for c in range(n_cchunks):
-            w = min(chunk, S - c * chunk)
-            kd = pltpu.make_async_copy(
-                crossk_ref.at[l, :, :, pl.ds(c * chunk, w), :],
-                kcb.at[:, :, pl.ds(0, w), :], sems.at[6])
-            vd = pltpu.make_async_copy(
-                crossv_ref.at[l, :, :, pl.ds(c * chunk, w), :],
-                vcb.at[:, :, pl.ds(0, w), :], sems.at[7])
-            kd.start()
-            vd.start()
-            kd.wait()
-            kc = kcb[:, :, :w, :].astype(jnp.float32)
-            scores = jnp.sum(qch[:, :, None, :] * kc, axis=-1)
-            scores = scores + encbias_ref[:, pl.ds(c * chunk, w)][:, None, :]
-            m_new = jnp.maximum(mrow[:], jnp.max(scores, axis=-1))
-            alpha = jnp.exp(mrow[:] - m_new)
-            p = jnp.exp(scores - m_new[:, :, None])
-            vd.wait()
-            vc = vcb[:, :, :w, :].astype(jnp.float32)
-            acc[:] = (acc[:] * alpha[:, :, None]
-                      + jnp.sum(p[:, :, :, None] * vc, axis=2))
-            drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1)
-            mrow[:] = m_new
-        out = (acc[:] / jnp.maximum(drow[:], 1e-20)[:, :, None]).reshape(B, D)
-        wdmas[5].wait()
-        h = matmul(out, wbuf.at[5]) + sm[BCO][None, :]
-        x_scr[:] = ln(x + h, LN2G, LN2B)
+        n_cchunks = (S + chunk - 1) // chunk
+        hacc[:] = jnp.zeros((B, D), jnp.float32)
+        for h in range(H):
+            qc_h = (matmul(x, wcq.at[h]) + hb[HCQ, h][None, :]) * scale
+            mrow[:] = jnp.full((B, 1), NEG_INF, jnp.float32)
+            drow[:] = jnp.zeros((B, 1), jnp.float32)
+            acc[:] = jnp.zeros((B, Dh), jnp.float32)
+            for c in range(n_cchunks):
+                w = min(chunk, S - c * chunk)
+                kd = pltpu.make_async_copy(
+                    crossk_ref.at[l, :, h, pl.ds(c * chunk, w), :],
+                    kcb.at[:, pl.ds(0, w), :], sems.at[6])
+                vd = pltpu.make_async_copy(
+                    crossv_ref.at[l, :, h, pl.ds(c * chunk, w), :],
+                    vcb.at[:, pl.ds(0, w), :], sems.at[7])
+                kd.start()
+                vd.start()
+                if w < chunk:
+                    kcb[:, pl.ds(w, chunk - w), :] = jnp.zeros(
+                        (B, chunk - w, Dh), kcb.dtype)
+                    vcb[:, pl.ds(w, chunk - w), :] = jnp.zeros(
+                        (B, chunk - w, Dh), vcb.dtype)
+                kd.wait()
+                kc = kcb[:].astype(jnp.float32)
+                scores = jnp.sum(qc_h[:, None, :] * kc, axis=-1)
+                scores = scores + encb_ref[c]  # [B, chunk], NEG_INF padded
+                m_new = jnp.maximum(
+                    mrow[:], jnp.max(scores, axis=-1, keepdims=True))
+                alpha = jnp.exp(mrow[:] - m_new)
+                p = jnp.exp(scores - m_new)
+                vd.wait()
+                vc = vcb[:].astype(jnp.float32)
+                acc[:] = acc[:] * alpha + jnp.sum(p[:, :, None] * vc, axis=1)
+                drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                mrow[:] = m_new
+            out_h = acc[:] / jnp.maximum(drow[:], 1e-20)
+            hacc[:] = hacc[:] + matmul(out_h, wco.at[h])
+
+        h_cross = hacc[:] + sm[BCO][None, :]
+        x_scr[:] = ln(x + h_cross, LN2G, LN2B)
 
     pl.run_scoped(
         attn_phase,
-        wbuf=pltpu.VMEM((6, D, D), jnp.bfloat16),
-        kcb=pltpu.VMEM((B, H, chunk, Dh), cache_dtype),
-        vcb=pltpu.VMEM((B, H, chunk, Dh), cache_dtype),
-        acc=pltpu.VMEM((B, H, Dh), jnp.float32),
-        mrow=pltpu.VMEM((B, H), jnp.float32),
-        drow=pltpu.VMEM((B, H), jnp.float32),
+        wq=pltpu.VMEM((n_heads, D, D // n_heads), jnp.bfloat16),
+        wk=pltpu.VMEM((n_heads, D, D // n_heads), jnp.bfloat16),
+        wv=pltpu.VMEM((n_heads, D, D // n_heads), jnp.bfloat16),
+        wo=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
+        wcq=pltpu.VMEM((n_heads, D, D // n_heads), jnp.bfloat16),
+        wco=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
+        kcb=pltpu.VMEM((B, chunk, D // n_heads), cache_dtype),
+        vcb=pltpu.VMEM((B, chunk, D // n_heads), cache_dtype),
+        acc=pltpu.VMEM((B, D // n_heads), jnp.float32),
+        mrow=pltpu.VMEM((B, 1), jnp.float32),
+        drow=pltpu.VMEM((B, 1), jnp.float32),
+        hacc=pltpu.VMEM((B, D), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((8,)),
     )
 
@@ -255,14 +290,34 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
 
 
 def pack_smalls(dec_layers, dtype=jnp.float32):
-    """[L, 13, D] f32: biases (sq,sk,sv,so,cq,co,ffn.out) + LN g/b."""
+    """[L, 9, D] f32: D-wide biases (so, co, ffn.out) + LN g/b."""
     sa, ca = dec_layers["self_attn"], dec_layers["cross_attn"]
-    rows = [sa["q"]["b"], sa["k"]["b"], sa["v"]["b"], sa["o"]["b"],
-            ca["q"]["b"], ca["o"]["b"], dec_layers["ffn"]["out"]["b"],
+    rows = [sa["o"]["b"], ca["o"]["b"], dec_layers["ffn"]["out"]["b"],
             dec_layers["ln1"]["g"], dec_layers["ln1"]["b"],
             dec_layers["ln2"]["g"], dec_layers["ln2"]["b"],
             dec_layers["ln3"]["g"], dec_layers["ln3"]["b"]]
-    return jnp.stack([r.astype(dtype) for r in rows], axis=1)  # [L, 13, D]
+    return jnp.stack([r.astype(dtype) for r in rows], axis=1)  # [L, 9, D]
+
+
+def pack_head_biases(dec_layers, n_heads: int, dtype=jnp.float32):
+    """[L, 4, H, Dh] f32: per-head q/k/v (self) + q (cross) biases."""
+    sa, ca = dec_layers["self_attn"], dec_layers["cross_attn"]
+    L, D = sa["q"]["b"].shape
+    rows = [sa["q"]["b"], sa["k"]["b"], sa["v"]["b"], ca["q"]["b"]]
+    packed = jnp.stack([r.astype(dtype) for r in rows], axis=1)  # [L, 4, D]
+    return packed.reshape(L, 4, n_heads, D // n_heads)
+
+
+def _per_head_in(w, n_heads):
+    """[L, D, D] -> [L, H, D, Dh] (split the OUTPUT dim by head)."""
+    L, D, _ = w.shape
+    return w.reshape(L, D, n_heads, D // n_heads).transpose(0, 2, 1, 3)
+
+
+def _per_head_out(w, n_heads):
+    """[L, D, D] -> [L, H, Dh, D] (split the INPUT dim by head)."""
+    L, D, _ = w.shape
+    return w.reshape(L, n_heads, D // n_heads, D)
 
 
 def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
@@ -287,8 +342,8 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
     Lyr = dl["ln1"]["g"].shape[0]
 
     smalls = pack_smalls(dl)
+    headb = pack_head_biases(dl, H)
     b1 = dl["ffn"]["in"]["b"].astype(jnp.float32)  # [L, F]
-    F = b1.shape[1]
     wdt = jnp.bfloat16
 
     x0 = x[:, 0, :].astype(jnp.float32)
@@ -300,6 +355,13 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
                             ).astype(jnp.float32)
     else:
         encbias = jnp.zeros((B, S_), jnp.float32)
+    # chunked [Nc, B, chunk] with NEG_INF padding: in-kernel lane slicing
+    # of a [B, S] bias at non-tile offsets is not lowerable, a per-chunk
+    # leading index is
+    n_cchunks = (S_ + chunk - 1) // chunk
+    pad = n_cchunks * chunk - S_
+    encb = jnp.pad(encbias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    encb = encb.reshape(B, n_cchunks, chunk).transpose(1, 0, 2)
 
     kernel = functools.partial(_layer_kernel, n_heads=H, chunk=chunk,
                                eps=cfg.layer_norm_eps,
@@ -310,7 +372,7 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pos
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # encbias
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # encb (chunked)
             pl.BlockSpec(memory_space=pl.ANY),    # sqw
             pl.BlockSpec(memory_space=pl.ANY),    # skw
             pl.BlockSpec(memory_space=pl.ANY),    # svw
@@ -320,6 +382,7 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
             pl.BlockSpec(memory_space=pl.ANY),    # w1
             pl.BlockSpec(memory_space=pl.ANY),    # w2
             pl.BlockSpec(memory_space=pltpu.VMEM),   # smalls
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # headb
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
             pl.BlockSpec(memory_space=pl.ANY),    # selfk
             pl.BlockSpec(memory_space=pl.ANY),    # selfv
@@ -328,37 +391,38 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # xout
-            pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
+            pl.BlockSpec((1, H, B, Dh), lambda l, *_: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),                     # knew
-            pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
+            pl.BlockSpec((1, H, B, Dh), lambda l, *_: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),                     # vnew
         ),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
     )
 
     sa, ca = dl["self_attn"], dl["cross_attn"]
-    ck = cache.cross_k
-    cv = cache.cross_v
     xout, knew, vnew = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((Lyr, B, D), cache.self_k.dtype),
-            jax.ShapeDtypeStruct((Lyr, B, D), cache.self_v.dtype),
+            jax.ShapeDtypeStruct((Lyr, H, B, Dh), cache.self_k.dtype),
+            jax.ShapeDtypeStruct((Lyr, H, B, Dh), cache.self_v.dtype),
         ),
         interpret=interpret,
-    )(maxpos, x0, pos_in, encbias,
-      sa["q"]["w"].astype(wdt), sa["k"]["w"].astype(wdt),
-      sa["v"]["w"].astype(wdt), sa["o"]["w"].astype(wdt),
-      ca["q"]["w"].astype(wdt), ca["o"]["w"].astype(wdt),
+    )(maxpos, x0, pos_in, encb,
+      _per_head_in(sa["q"]["w"].astype(wdt), H),
+      _per_head_in(sa["k"]["w"].astype(wdt), H),
+      _per_head_in(sa["v"]["w"].astype(wdt), H),
+      _per_head_out(sa["o"]["w"].astype(wdt), H),
+      _per_head_in(ca["q"]["w"].astype(wdt), H),
+      _per_head_out(ca["o"]["w"].astype(wdt), H),
       dl["ffn"]["in"]["w"].astype(wdt), dl["ffn"]["out"]["w"].astype(wdt),
-      smalls, b1,
-      cache.self_k, cache.self_v, ck, cv)
+      smalls, headb, b1,
+      cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
 
     # cache writes in XLA (per-slot pos; in-place under donation)
-    knew_h = knew.reshape(Lyr, B, H, Dh)
-    vnew_h = vnew.reshape(Lyr, B, H, Dh)
+    knew_h = knew.transpose(0, 2, 1, 3)  # [L, B, H, Dh]
+    vnew_h = vnew.transpose(0, 2, 1, 3)
 
     def upd(c, new):  # c [L,B,H,T,Dh], new [L,B,H,Dh]
         def one(cb, nb, p):  # [L,H,T,Dh], [L,H,Dh], scalar
