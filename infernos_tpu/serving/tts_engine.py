@@ -176,8 +176,16 @@ class TTSEngine:
     def _init_state(self) -> TTSState:
         cfg, ecfg = self.cfg, self.ecfg
         B, M = ecfg.batch_slots, cfg.num_mel_bins
-        cache = st5.init_cache(cfg, B, ecfg.max_steps, ecfg.max_text_tokens,
-                               dtype=ecfg.dtype)
+        if self._use_fused_step():
+            # time-minor [L,B,H,Dh,Tpad] layout: the only KV layout the
+            # Pallas kernel can chunk-DMA (see ops/tts_step.py docstring)
+            from ..ops.tts_step import tm_init_cache
+
+            cache = tm_init_cache(cfg, B, ecfg.max_steps,
+                                  ecfg.max_text_tokens, dtype=ecfg.dtype)
+        else:
+            cache = st5.init_cache(cfg, B, ecfg.max_steps,
+                                   ecfg.max_text_tokens, dtype=ecfg.dtype)
         return TTSState(
             cache=cache,
             enc_mask=jnp.zeros((B, ecfg.max_text_tokens), bool),
@@ -210,6 +218,14 @@ class TTSEngine:
 
         _, (ck, cv) = jax.lax.scan(ckv, None, params["dec_layers"])
         # ck/cv: [L,m,H,S,Dh]
+        if self._use_fused_step():  # time-minor cache: [L,m,H,Dh,Spad]
+            S_pad = state.cache.cross_k.shape[4]
+            ck = jnp.transpose(ck, (0, 1, 2, 4, 3))
+            cv = jnp.transpose(cv, (0, 1, 2, 4, 3))
+            pad = S_pad - ck.shape[4]
+            if pad:
+                ck = jnp.pad(ck, ((0, 0),) * 4 + ((0, pad),))
+                cv = jnp.pad(cv, ((0, 0),) * 4 + ((0, pad),))
         zeros_k = jnp.zeros_like(state.cache.self_k[:, 0])
         M = self.cfg.num_mel_bins
         dt = self.ecfg.dtype
@@ -281,7 +297,8 @@ class TTSEngine:
 
                 h, cache = fused_decode_step(params, cfg, x, state.cache,
                                              state.pos,
-                                             enc_mask=state.enc_mask)
+                                             enc_mask=state.enc_mask,
+                                             time_minor=True)
             else:
                 h, cache = st5.decode_step(params, cfg, x, state.cache,
                                            state.pos,
