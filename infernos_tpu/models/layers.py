@@ -183,6 +183,7 @@ def attention(
     mask=None,
     pos_bias=None,
     scale: Optional[float] = None,
+    return_probs: bool = False,
 ):
     """Full (non-cached) multi-head attention.
 
@@ -190,6 +191,8 @@ def attention(
     ``pos_bias``: SpeechT5-style relative key embeddings ``[Tq, Tk, Dh]``;
     bias logits are ``q . pos_bias`` (reference semantics of
     ``SpeechT5Attention``, HF modeling_speecht5.py).
+    ``return_probs``: also return the ``[B, H, Tq, Tk]`` attention weights
+    (training-time alignment losses / diagnostics).
     """
     if x_kv is None:
         x_kv = x_q
@@ -207,7 +210,10 @@ def attention(
         logits = logits + mask.astype(logits.dtype)
     w = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-    return linear(merge_heads(out), p["o"])
+    out = linear(merge_heads(out), p["o"])
+    if return_probs:
+        return out, w
+    return out
 
 
 def attention_step(

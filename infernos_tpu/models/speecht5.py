@@ -230,10 +230,13 @@ def decoder_prenet(params, cfg: SpeechT5Config, mel_in, speaker_emb, *,
 
 # -- decoder ------------------------------------------------------------------
 
-def decode_full(params, cfg: SpeechT5Config, dec_in, enc_out, enc_mask=None):
+def decode_full(params, cfg: SpeechT5Config, dec_in, enc_out, enc_mask=None,
+                return_cross_attn: bool = False):
     """Teacher-forced full-sequence decoder (parity tests / batch prefill).
 
-    dec_in: [B, T, D] prenet outputs. Returns final hidden states [B, T, D].
+    dec_in: [B, T, D] prenet outputs. Returns final hidden states [B, T, D];
+    with ``return_cross_attn`` also the per-layer cross-attention weights
+    ``[L, B, H, T, S]`` (guided-attention training / alignment diagnostics).
     """
     B, T, D = dec_in.shape
     H = cfg.decoder_attention_heads
@@ -246,12 +249,15 @@ def decode_full(params, cfg: SpeechT5Config, dec_in, enc_out, enc_mask=None):
     def body(x, lp):
         h = L.attention(lp["self_attn"], x, n_heads=H, mask=causal)
         x = L.layer_norm(x + h, lp["ln1"], eps)
-        h = L.attention(lp["cross_attn"], x, enc_out, n_heads=H, mask=xmask)
+        h, w = L.attention(lp["cross_attn"], x, enc_out, n_heads=H,
+                           mask=xmask, return_probs=True)
         x = L.layer_norm(x + h, lp["ln2"], eps)
         h = L.linear(jax.nn.gelu(L.linear(x, lp["ffn"]["in"]), approximate=False), lp["ffn"]["out"])
-        return L.layer_norm(x + h, lp["ln3"], eps), None
+        return L.layer_norm(x + h, lp["ln3"], eps), w if return_cross_attn else None
 
-    x, _ = jax.lax.scan(body, dec_in, params["dec_layers"])
+    x, ws = jax.lax.scan(body, dec_in, params["dec_layers"])
+    if return_cross_attn:
+        return x, ws
     return x
 
 

@@ -78,9 +78,9 @@ def mel80_np(wav: np.ndarray) -> np.ndarray:
 
 def tiny_config(vocab: int) -> st5.SpeechT5Config:
     return st5.SpeechT5Config(
-        vocab_size=vocab, hidden_size=192, encoder_layers=2,
-        encoder_attention_heads=4, encoder_ffn_dim=512, decoder_layers=2,
-        decoder_attention_heads=4, decoder_ffn_dim=512, num_mel_bins=N_MELS,
+        vocab_size=vocab, hidden_size=256, encoder_layers=3,
+        encoder_attention_heads=4, encoder_ffn_dim=768, decoder_layers=3,
+        decoder_attention_heads=4, decoder_ffn_dim=768, num_mel_bins=N_MELS,
         reduction_factor=2, speech_decoder_prenet_layers=2,
         speech_decoder_prenet_units=128, speech_decoder_prenet_dropout=0.2,
         speech_decoder_postnet_layers=3, speech_decoder_postnet_units=128,
@@ -197,31 +197,75 @@ def train_t5(a, tok, speakers, server):
     r = cfg.reduction_factor
 
     @jax.jit
-    def step_fn(params, opt_state, toks, tmask, spk, mels, fmask, stops, rng):
+    def step_fn(params, opt_state, toks, tmask, spk, mels, fmask, stops, rng,
+                p_ss):
+        rng_d1, rng_d2, rng_ss = jax.random.split(rng, 3)
+
+        def fwd(p, mel_in, spk_emb, enc, drng):
+            dec_in = st5.decoder_prenet(
+                p, cfg, mel_in, spk_emb,
+                step_offset=jnp.zeros((toks.shape[0],), jnp.int32),
+                dropout_rng=drng)
+            hid, xattn = st5.decode_full(p, cfg, dec_in, enc, enc_mask=tmask,
+                                         return_cross_attn=True)
+            mel_b, stop_logits = st5.feat_and_prob(p, cfg, hid)
+            return mel_b, st5.postnet(p, cfg, mel_b), stop_logits, xattn
+
         def loss_fn(p):
             enc = st5.encode_text(p, cfg, toks, attention_mask=tmask)
             B, T = mels.shape[:2]
             Td = T // r
             # decoder input at group t = last mel frame of group t-1
             prev = mels[:, r - 1 :: r][:, : Td - 1]
-            mel_in = jnp.concatenate(
+            gt_in = jnp.concatenate(
                 [jnp.zeros((B, 1, N_MELS), mels.dtype), prev], axis=1)
             spk_emb = p["spk_table"][spk]
-            dec_in = st5.decoder_prenet(
-                p, cfg, mel_in, spk_emb,
-                step_offset=jnp.zeros((B,), jnp.int32), dropout_rng=rng)
-            hid = st5.decode_full(p, cfg, dec_in, enc, enc_mask=tmask)
-            mel_b, stop_logits = st5.feat_and_prob(p, cfg, hid)
-            mel_a = st5.postnet(p, cfg, mel_b)
+            # scheduled sampling (exposure-bias fix, two-pass): pass 1
+            # teacher-forced; pass 2 feeds pass-1 PREDICTIONS at a ramping
+            # fraction of positions, so free-running decode stays on the
+            # manifold it was trained on
+            mel_b1, mel_a1, _, _ = fwd(p, gt_in, spk_emb, enc, rng_d1)
+            pred_prev = jax.lax.stop_gradient(
+                mel_a1.reshape(B, Td, r, N_MELS)[:, : Td - 1, r - 1])
+            use_pred = (jax.random.uniform(rng_ss, (B, Td - 1, 1))
+                        < p_ss).astype(mels.dtype)
+            mix_prev = pred_prev * use_pred + prev * (1.0 - use_pred)
+            mel_in = jnp.concatenate(
+                [jnp.zeros((B, 1, N_MELS), mels.dtype), mix_prev], axis=1)
+            mel_b, mel_a, stop_logits, xattn = fwd(
+                p, mel_in, spk_emb, enc, rng_d2)
             fm = fmask[:, :, None]
             denom = jnp.maximum(fmask.sum(), 1.0)
+            # guided attention (Tachibana et al. 2017): penalize cross-attn
+            # mass far from the diagonal t/Td ~ s/S.  This is what keeps a
+            # tiny decoder aligned on long prompts instead of collapsing to
+            # a repeated gesture (round-3 loopback failure mode).
+            gmask = fmask[:, r - 1 :: r]                       # [B, Td]
+            td_len = jnp.maximum(gmask.sum(-1, keepdims=True), 1.0)
+            s_len = jnp.maximum(tmask.sum(-1, keepdims=True), 1.0)
+            t_pos = jnp.arange(Td, dtype=jnp.float32)[None, :] / td_len
+            s_pos = (jnp.arange(toks.shape[1], dtype=jnp.float32)[None, :]
+                     / s_len)
+            dist = t_pos[:, :, None] - s_pos[:, None, :]       # [B, Td, S]
+            wga = 1.0 - jnp.exp(-(dist * dist) / (2.0 * 0.2 ** 2))
+            vmask = gmask[:, :, None] * tmask[:, None, :].astype(jnp.float32)
+            ga_num = (xattn.astype(jnp.float32)
+                      * (wga * vmask)[None, :, None]).sum()
+            # per-query normalization: each attn row sums to 1, so this is
+            # the mean off-diagonal mass per (layer, head, valid position)
+            l_ga = ga_num / jnp.maximum(
+                gmask.sum() * xattn.shape[0] * xattn.shape[2], 1.0)
             l_b = (jnp.abs(mel_b - mels) * fm).sum() / (denom * N_MELS)
             l_a = (jnp.abs(mel_a - mels) * fm).sum() / (denom * N_MELS)
+            l_b1 = (jnp.abs(mel_b1 - mels) * fm).sum() / (denom * N_MELS)
+            l_a1 = (jnp.abs(mel_a1 - mels) * fm).sum() / (denom * N_MELS)
             # stop BCE: positive class upweighted (rare)
             sl = optax.sigmoid_binary_cross_entropy(stop_logits, stops)
             w = 1.0 + 4.0 * stops
             l_s = (sl * w * fmask).sum() / denom
-            return l_b + l_a + 0.5 * l_s, (l_b, l_a, l_s)
+            loss = (l_b + l_a + 0.5 * (l_b1 + l_a1) + 0.5 * l_s
+                    + 2.0 * l_ga)
+            return loss, (l_b, l_a, l_s, l_ga)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -233,14 +277,18 @@ def train_t5(a, tok, speakers, server):
     for step in range(a.steps):
         batch = assemble(server.sample(rng, a.batch))
         key, sub = jax.random.split(key)
+        # scheduled-sampling ramp: pure teacher forcing for the first
+        # quarter, then up to 50% predicted-frame feeding
+        p_ss = min(0.5, max(0.0, (step / a.steps - 0.25) / 0.75) * 0.5)
         params, opt_state, loss, aux = step_fn(
-            params, opt_state, *[jnp.asarray(x) for x in batch], sub)
+            params, opt_state, *[jnp.asarray(x) for x in batch], sub,
+            jnp.float32(p_ss))
         if step % 100 == 0 or step == a.steps - 1:
-            lb, la, ls = [float(x) for x in aux]
+            lb, la, ls, lg = [float(x) for x in aux]
             print(f"t5 step {step} loss {float(loss):.4f} "
-                  f"(pre {lb:.4f} post {la:.4f} stop {ls:.4f}) "
-                  f"buf {len(server.buf)} ({time.time()-t0:.0f}s)",
-                  flush=True)
+                  f"(pre {lb:.4f} post {la:.4f} stop {ls:.4f} "
+                  f"ga {lg:.4f} ss {p_ss:.2f}) buf {len(server.buf)} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
     return params, cfg
 
 
