@@ -112,18 +112,32 @@ def load_tiny_llm():
     return params, cfg
 
 
-def load_tiny_tts():
-    """-> (t5_params, SpeechT5Config, voc_params, HifiGanConfig,
-    tokenizer, speaker_table [N, spk_dim])."""
+def load_tiny_tts(vocoder: str = None):
+    """-> (t5_params, SpeechT5Config, voc_params, voc_cfg,
+    tokenizer, speaker_table [N, spk_dim]).
+
+    ``vocoder`` (or ``INFERNOS_TTS_VOCODER``): ``"gl"`` (default) serves
+    the deterministic Griffin-Lim mel inverter -- the in-repo GAN-less
+    HiFi-GAN destroys formant content (copy-synthesis intelligibility 0.34
+    vs 0.97, round-3 diagnostic); ``"hifigan"`` serves the trained
+    checkpoint (the path real ported weights use).
+    """
+    from ..audio import griffinlim as gl
     from .hifigan import HifiGanConfig
     from .speecht5 import SpeechT5Config
     from .spm import load_spm_model
 
     d = data_path("tiny_tts")
     cfg = _load_cfg(d, SpeechT5Config)
-    vcfg = _load_cfg(d, HifiGanConfig, "voc_config.json")
     params = load_params(os.path.join(d, "t5_params.npz"))
-    voc_params = load_params(os.path.join(d, "voc_params.npz"))
     tok = load_spm_model(os.path.join(d, "tokenizer", "spiece.model"))
     table = np.load(os.path.join(d, "speakers.npz"))["table"]
+    if vocoder is None:
+        vocoder = os.environ.get("INFERNOS_TTS_VOCODER", "gl")
+    if vocoder == "gl":
+        vcfg = gl.GriffinLimConfig(n_mels=cfg.num_mel_bins)
+        voc_params = gl.init_params(vcfg)
+    else:
+        vcfg = _load_cfg(d, HifiGanConfig, "voc_config.json")
+        voc_params = load_params(os.path.join(d, "voc_params.npz"))
     return params, cfg, voc_params, vcfg, tok, table

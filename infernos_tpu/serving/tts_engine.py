@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import amendnet as amd
+from ..audio import griffinlim as gl
 from ..models import hifigan as hfg
 from ..models import speecht5 as st5
 from ..utils.logging import get_logger
@@ -355,7 +356,10 @@ class TTSEngine:
         pre = ecfg.pre_frames
         full = jnp.concatenate([state_mel_ctx, mels], axis=1)  # [B, pre+C, M]
         refined = st5.postnet(params, cfg, full)
-        audio = hfg.apply(self.voc_params, self.voc_cfg, refined)
+        if isinstance(self.voc_cfg, gl.GriffinLimConfig):
+            audio = gl.apply(self.voc_params, self.voc_cfg, refined)
+        else:
+            audio = hfg.apply(self.voc_params, self.voc_cfg, refined)
         fs = self.voc_cfg.total_upsample
         if self.amd_params is not None:
             acfg = dataclasses.replace(
