@@ -12,11 +12,14 @@ HBM with online softmax, dead chunks skipped at runtime), cross-attention
 over the precomputed encoder K/V, and the FFN -- with weights DMA'd once
 per layer into reused VMEM buffers.
 
-Mosaic-lowering constraints shaped the design (all measured on v5e):
-- no lane-dim shape casts: attention runs PER HEAD with pre-split weights
-  (all six projections stored [L, H, Dh, D]: projection matmuls contract
-  on the minor D axis, and per-head output products are accumulated, so
-  heads never concatenate);
+Mosaic-lowering constraints + MXU-issue-count discipline shaped the
+design (all measured on v5e; the first hardware A/B showed 72 tiny
+per-head projection matmuls/layer dominating at 48 of 84 ms):
+- no lane-dim shape casts, but VALUE lane-slices at 64-offsets and
+  leading-dim-batched dot_general DO lower: self q|k|v is ONE packed
+  [D, 3D] matmul (1/sqrt(Dh) folded into the q third at pack time),
+  heads are value slices of the result, and the output projections are
+  one [H,B,Dh]x[H,Dh,D] batched dot_general each, summed over heads;
 - any manually-DMA'd HBM array must have a 128-multiple minor dim
   (`tpu.memref_slice` alignment), so the KV caches are TIME-MINOR:
   `[L, B, H, Dh, T]` with T padded to the 128-chunk grid -- every DMA
@@ -29,10 +32,16 @@ Mosaic-lowering constraints shaped the design (all measured on v5e):
 
 Replaces ``models.speecht5.decode_step``'s layer scan for serving; the
 XLA path remains the oracle (``tests/test_tts_fused_step.py`` checks
-parity in interpreter mode).  Cache WRITES stay in XLA (vmapped
-dynamic-update at per-slot ``pos``): the kernel returns each layer's new
-K/V row and attends to the current token directly, which is equivalent to
-reading the just-written cache row.
+parity in interpreter mode).  Cache WRITES happen IN-KERNEL: the self
+K/V caches alias through the kernel (``input_output_aliases``) and each
+layer merges its new K/V column into the per-slot 128-chunk via
+read-modify-write DMAs at dynamic (pos//chunk) offsets.  An XLA-side
+scatter after the kernel was measured to force a full-cache copy every
+step (~45 ms of a 98 ms 16-step scan at B=24): XLA's copy-insertion will
+not update in place around a custom call that also reads the buffer.
+The kernel attends to the current token from scratch registers, which is
+equivalent to reading the just-written cache row (the streamed-chunk
+mask excludes ``pos`` itself).
 
 Reference behavior being accelerated: the reference's per-step decoder
 loop ``HelloSippyTTSRT/HelloSippyRTPipe.py:191-259``.
@@ -41,7 +50,7 @@ loop ``HelloSippyTTSRT/HelloSippyRTPipe.py:191-259``.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,25 +81,25 @@ def _gelu_exact(h):
 
 def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     # scalar-prefetch
-    maxpos_ref,            # SMEM [1] int32: max(pos)+1 over active slots
+    spos_ref,              # SMEM [1+B] int32: [maxpos+? no -- max(pos), *pos]
     # inputs
     x0_ref,                # VMEM [B, D] f32 (prenet output)
     pos_ref,               # VMEM [B, 1] int32 per-slot write position
     encb_ref,              # VMEM [Nc, B, chunk] f32 chunked cross bias
-    sqw_ref, skw_ref, svw_ref,  # ANY [L, H, Dh, D]
+    sqkvw_ref,             # ANY [L, D, 3D] packed self q|k|v (q pre-scaled)
     sow_ref,               # ANY [L, H, Dh, D]
-    cqw_ref,               # ANY [L, H, Dh, D]
+    cqw_ref,               # ANY [L, D, D] cross q (pre-scaled)
     cow_ref,               # ANY [L, H, Dh, D]
     w1_ref,                # ANY [L, D, F]
     w2_ref,                # ANY [L, F, D]
-    smalls_ref,            # VMEM [L, 9, D] f32 (D-wide biases + LN params)
-    headb_ref,             # VMEM [L, 4, H, Dh] f32 (sq, sk, sv, cq biases)
+    smalls_ref,            # VMEM [L, 10, D] f32 (D-wide biases + LN params)
+    bqkv_ref,              # VMEM [L, 3D] f32 packed self q|k|v bias (q scaled)
     b1_ref,                # VMEM [L, F] f32
-    selfk_ref, selfv_ref,  # ANY [L, B, H, Dh, Tpad] (time-minor)
+    selfk_ref, selfv_ref,  # ANY [L, B, H, Dh, Tpad] (time-minor; ALIASED out)
     crossk_ref, crossv_ref,  # ANY [L, B, H, Dh, Spad] (time-minor)
     # outputs
     xout_ref,              # VMEM [B, D] f32
-    knew_ref, vnew_ref,    # VMEM [L_block=1, H, B, Dh]
+    selfk_out, selfv_out,  # ANY (aliased with selfk_ref/selfv_ref)
     # scratch
     x_scr,                 # VMEM [B, D] f32 (carried hidden)
     *,
@@ -108,16 +117,15 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     S = crossk_ref.shape[4]
     Tmax = selfk_ref.shape[4]
     assert Tmax % chunk == 0 and S % chunk == 0
-    scale = Dh ** -0.5
+    # NOTE: the 1/sqrt(Dh) attention scale is folded into the packed q
+    # weights/biases at pack time (pack_qkv / pack_smalls row BCQ).
 
     @pl.when(l == 0)
     def _():
         x_scr[:] = x0_ref[:]
 
-    sm = smalls_ref[l]   # [9, D] f32
-    hb = headb_ref[l]    # [4, H, Dh] f32
-    (BSO, BCO, B2, LN1G, LN1B, LN2G, LN2B, LN3G, LN3B) = range(9)
-    (HQ, HK, HV, HCQ) = range(4)
+    sm = smalls_ref[l]   # [10, D] f32
+    (BSO, BCO, B2, LN1G, LN1B, LN2G, LN2B, LN3G, LN3B, BCQ) = range(10)
 
     def ln(x, gi, bi):
         mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -139,133 +147,233 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
             preferred_element_type=jnp.float32)
 
     # ---------------- phase A: self-attention + cross-attention -------------
-    def attn_phase(wq, wk, wv, wo, wcq, wco, kcb, vcb, ckb, cvb,
-                   acc, mrow, drow, hacc, sems):
-        # wq..wco: [H, Dh, D] bf16
-        # kcb/vcb, ckb/cvb: [B, Dh, chunk] per-head streaming buffers in
-        # the self-/cross-cache dtypes (DMA requires matching elem types)
-        # acc: [B, Dh] f32; mrow/drow: [B, 1] f32; hacc: [B, D] f32
+    def attn_phase(wqkv, wo, wcq, wco, kcb0, kcb1, vcb0, vcb1,
+                   ckb0, ckb1, cvb0, cvb1, rmwk, rmwv, qs, ks, vs,
+                   acc, mrow, drow, sems):
+        # Matmul-count discipline (the first hardware A/B showed per-head
+        # projections dominate: 72 tiny MXU issues/layer): self q|k|v is ONE
+        # packed [D, 3D] matmul (scale folded into q at pack time), heads
+        # are VALUE lane-slices at 64-offsets (lowerable -- only reshapes
+        # are not), and output projections are ONE leading-dim-batched
+        # dot_general each.  K/V streaming is ALL-HEAD and double-buffered:
+        # one [B, H, Dh, chunk] DMA per chunk per cache with the next
+        # chunk's DMA in flight during compute.
         wdmas = [pltpu.make_async_copy(ref.at[l], buf, sems.at[i])
                  for i, (ref, buf) in enumerate((
-                     (sqw_ref, wq), (skw_ref, wk), (svw_ref, wv),
-                     (sow_ref, wo), (cqw_ref, wcq), (cow_ref, wco)))]
+                     (sqkvw_ref, wqkv), (sow_ref, wo),
+                     (cqw_ref, wcq), (cow_ref, wco)))]
         for d in wdmas:
             d.start()
+        # in-kernel cache write, step 1: start the per-slot chunk reads for
+        # the read-modify-write NOW (they only need pos) so they overlap
+        # the weight DMAs and projections.  The XLA-side scatter this
+        # replaces copied the whole 900 MB cache every step (copy-insertion
+        # around the custom call); measured per-slot dynamic-start DMAs
+        # are ~free.
+        rmw_reads = []
+        for b in range(B):
+            cidx = spos_ref[1 + b] // chunk
+            kd = pltpu.make_async_copy(
+                selfk_ref.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
+                rmwk.at[b], sems.at[10])
+            vd = pltpu.make_async_copy(
+                selfv_ref.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
+                rmwv.at[b], sems.at[11])
+            kd.start()
+            vd.start()
+            rmw_reads += [kd, vd]
         for d in wdmas:
             d.wait()
         x = x_scr[:]
-        maxpos = maxpos_ref[0]
+        maxpos = spos_ref[0]
         posv = pos_ref[:]  # [B, 1] int32
 
-        n_chunks = Tmax // chunk
-        hacc[:] = jnp.zeros((B, D), jnp.float32)
+        # packed projections -> per-head [H, B, Dh] scratch
+        y = matmul(x, wqkv) + bqkv_ref[l][None, :]  # [B, 3D] f32
         for h in range(H):
-            q_h = (matmul_t(x, wq.at[h]) + hb[HQ, h][None, :]) * scale
-            k_h = matmul_t(x, wk.at[h]) + hb[HK, h][None, :]
-            v_h = matmul_t(x, wv.at[h]) + hb[HV, h][None, :]
-            knew_ref[0, h] = k_h.astype(knew_ref.dtype)
-            vnew_ref[0, h] = v_h.astype(vnew_ref.dtype)
+            qs[h] = y[:, h * Dh:(h + 1) * Dh]
+            ks[h] = y[:, D + h * Dh: D + (h + 1) * Dh]
+            vs[h] = y[:, 2 * D + h * Dh: 2 * D + (h + 1) * Dh]
 
-            mrow[:] = jnp.full((B, 1), NEG_INF, jnp.float32)
-            drow[:] = jnp.zeros((B, 1), jnp.float32)
-            acc[:] = jnp.zeros((B, Dh), jnp.float32)
+        kbufs, vbufs = (kcb0, kcb1), (vcb0, vcb1)
 
-            for c in range(n_chunks):
-                @pl.when(c * chunk < maxpos)
-                def _(c=c, q_h=q_h):
-                    kd = pltpu.make_async_copy(
-                        selfk_ref.at[l, :, h, :, pl.ds(c * chunk, chunk)],
-                        kcb, sems.at[6])
-                    vd = pltpu.make_async_copy(
-                        selfv_ref.at[l, :, h, :, pl.ds(c * chunk, chunk)],
-                        vcb, sems.at[7])
-                    kd.start()
-                    vd.start()
-                    kd.wait()
-                    kc = kcb[:].astype(jnp.float32)  # [B, Dh, chunk]
-                    scores = jnp.sum(q_h[:, :, None] * kc, axis=1)
-                    kpos = (c * chunk
-                            + jax.lax.broadcasted_iota(jnp.int32,
-                                                       (B, chunk), 1))
-                    valid = kpos < posv  # [B, chunk]
-                    scores = jnp.where(valid, scores, NEG_INF)
-                    m_new = jnp.maximum(
-                        mrow[:], jnp.max(scores, axis=-1, keepdims=True))
-                    alpha = jnp.exp(mrow[:] - m_new)  # [B, 1]
-                    p = jnp.exp(scores - m_new)       # [B, chunk]
-                    vd.wait()
-                    vc = vcb[:].astype(jnp.float32)   # [B, Dh, chunk]
-                    acc[:] = (acc[:] * alpha
-                              + jnp.sum(p[:, None, :] * vc, axis=2))
-                    drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1,
-                                                        keepdims=True)
-                    mrow[:] = m_new
-
-            # current token (the row the caller writes at pos)
-            s_cur = jnp.sum(q_h * k_h, axis=-1, keepdims=True)  # [B, 1]
-            m_new = jnp.maximum(mrow[:], s_cur)
-            alpha = jnp.exp(mrow[:] - m_new)
-            p_cur = jnp.exp(s_cur - m_new)
-            out_h = (acc[:] * alpha + p_cur * v_h) \
-                / (drow[:] * alpha + p_cur)
-            hacc[:] = hacc[:] + matmul(out_h, wo.at[h])
-
-        h_attn = hacc[:] + sm[BSO][None, :]
-        x = ln(x + h_attn, LN1G, LN1B)
-
-        # ---- cross attention (chunk-stream encoder K/V, reuse buffers) ----
-        n_cchunks = S // chunk
-        hacc[:] = jnp.zeros((B, D), jnp.float32)
-        for h in range(H):
-            qc_h = (matmul_t(x, wcq.at[h]) + hb[HCQ, h][None, :]) * scale
-            mrow[:] = jnp.full((B, 1), NEG_INF, jnp.float32)
-            drow[:] = jnp.zeros((B, 1), jnp.float32)
-            acc[:] = jnp.zeros((B, Dh), jnp.float32)
-            for c in range(n_cchunks):
-                kd = pltpu.make_async_copy(
-                    crossk_ref.at[l, :, h, :, pl.ds(c * chunk, chunk)],
-                    ckb, sems.at[6])
-                vd = pltpu.make_async_copy(
-                    crossv_ref.at[l, :, h, :, pl.ds(c * chunk, chunk)],
-                    cvb, sems.at[7])
+        def self_dma(c, wait=False):
+            kd = pltpu.make_async_copy(
+                selfk_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
+                kbufs[c % 2], sems.at[6 + c % 2])
+            vd = pltpu.make_async_copy(
+                selfv_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
+                vbufs[c % 2], sems.at[8 + c % 2])
+            if wait:
+                kd.wait()
+                vd.wait()
+            else:
                 kd.start()
                 vd.start()
+
+        n_chunks = Tmax // chunk
+        mrow[:] = jnp.full((H, B, 1), NEG_INF, jnp.float32)
+        drow[:] = jnp.zeros((H, B, 1), jnp.float32)
+        acc[:] = jnp.zeros((H, B, Dh), jnp.float32)
+
+        @pl.when(0 < maxpos)
+        def _():
+            self_dma(0)
+        for c in range(n_chunks):
+            if (c + 1) < n_chunks:
+                @pl.when((c + 1) * chunk < maxpos)
+                def _(c=c):
+                    self_dma(c + 1)
+
+            @pl.when(c * chunk < maxpos)
+            def _(c=c):
+                self_dma(c, wait=True)
+                kb, vb = kbufs[c % 2], vbufs[c % 2]
+                kpos = (c * chunk
+                        + jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1))
+                valid = kpos < posv  # [B, chunk]
+                for h in range(H):
+                    kc = kb[:, h].astype(jnp.float32)  # [B, Dh, chunk]
+                    scores = jnp.sum(qs[h][:, :, None] * kc, axis=1)
+                    scores = jnp.where(valid, scores, NEG_INF)
+                    m_new = jnp.maximum(
+                        mrow[h], jnp.max(scores, axis=-1, keepdims=True))
+                    alpha = jnp.exp(mrow[h] - m_new)  # [B, 1]
+                    p = jnp.exp(scores - m_new)       # [B, chunk]
+                    vc = vb[:, h].astype(jnp.float32)
+                    acc[h] = (acc[h] * alpha
+                              + jnp.sum(p[:, None, :] * vc, axis=2))
+                    drow[h] = drow[h] * alpha + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+                    mrow[h] = m_new
+
+        for h in range(H):
+            # current token (the row this kernel writes at pos below)
+            s_cur = jnp.sum(qs[h] * ks[h], axis=-1, keepdims=True)  # [B, 1]
+            m_new = jnp.maximum(mrow[h], s_cur)
+            alpha = jnp.exp(mrow[h] - m_new)
+            p_cur = jnp.exp(s_cur - m_new)
+            acc[h] = (acc[h] * alpha + p_cur * vs[h]) \
+                / (drow[h] * alpha + p_cur)
+
+        # in-kernel cache write, step 2: merge the new K/V column into each
+        # slot's chunk at pos%chunk and write back (write DMAs overlap the
+        # cross-attention below; waited at the end of this phase)
+        for d in rmw_reads:
+            d.wait()
+        offs = (posv % chunk)[:, :, None]  # [B, 1, 1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, Dh, chunk), 2)
+        is_pos = lane == offs
+        for h in range(H):
+            # merge in f32: minor-dim insertion ([B,Dh] -> [B,Dh,1]) only
+            # lowers for 32-bit types; cast on store
+            rmwk[:, h] = jnp.where(
+                is_pos, ks[h][:, :, None],
+                rmwk[:, h].astype(jnp.float32)).astype(self_dtype)
+            rmwv[:, h] = jnp.where(
+                is_pos, vs[h][:, :, None],
+                rmwv[:, h].astype(jnp.float32)).astype(self_dtype)
+        rmw_writes = []
+        for b in range(B):
+            cidx = spos_ref[1 + b] // chunk
+            kd = pltpu.make_async_copy(
+                rmwk.at[b],
+                selfk_out.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
+                sems.at[10])
+            vd = pltpu.make_async_copy(
+                rmwv.at[b],
+                selfv_out.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
+                sems.at[11])
+            kd.start()
+            vd.start()
+            rmw_writes += [kd, vd]
+
+        # one batched output projection: [H,B,Dh] x [H,Dh,D] -> sum_H [B,D]
+        oh = jax.lax.dot_general(
+            acc[:].astype(jnp.bfloat16), wo[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        h_attn = jnp.sum(oh, axis=0) + sm[BSO][None, :]
+        x = ln(x + h_attn, LN1G, LN1B)
+
+        # ---- cross attention (all-head double-buffered streaming too) ----
+        cbufs, cvbufs = (ckb0, ckb1), (cvb0, cvb1)
+
+        def cross_dma(c, wait=False):
+            kd = pltpu.make_async_copy(
+                crossk_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
+                cbufs[c % 2], sems.at[6 + c % 2])
+            vd = pltpu.make_async_copy(
+                crossv_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
+                cvbufs[c % 2], sems.at[8 + c % 2])
+            if wait:
                 kd.wait()
-                kc = ckb[:].astype(jnp.float32)
-                scores = jnp.sum(qc_h[:, :, None] * kc, axis=1)
+                vd.wait()
+            else:
+                kd.start()
+                vd.start()
+
+        n_cchunks = S // chunk
+        yc = matmul(x, wcq) + sm[BCQ][None, :]  # [B, D] (pre-scaled)
+        for h in range(H):
+            qs[h] = yc[:, h * Dh:(h + 1) * Dh]
+        mrow[:] = jnp.full((H, B, 1), NEG_INF, jnp.float32)
+        drow[:] = jnp.zeros((H, B, 1), jnp.float32)
+        acc[:] = jnp.zeros((H, B, Dh), jnp.float32)
+
+        cross_dma(0)
+        for c in range(n_cchunks):
+            if (c + 1) < n_cchunks:
+                cross_dma(c + 1)
+            cross_dma(c, wait=True)
+            kb, vb = cbufs[c % 2], cvbufs[c % 2]
+            for h in range(H):
+                kc = kb[:, h].astype(jnp.float32)
+                scores = jnp.sum(qs[h][:, :, None] * kc, axis=1)
                 scores = scores + encb_ref[c]  # [B, chunk], NEG_INF padded
                 m_new = jnp.maximum(
-                    mrow[:], jnp.max(scores, axis=-1, keepdims=True))
-                alpha = jnp.exp(mrow[:] - m_new)
+                    mrow[h], jnp.max(scores, axis=-1, keepdims=True))
+                alpha = jnp.exp(mrow[h] - m_new)
                 p = jnp.exp(scores - m_new)
-                vd.wait()
-                vc = cvb[:].astype(jnp.float32)
-                acc[:] = acc[:] * alpha + jnp.sum(p[:, None, :] * vc, axis=2)
-                drow[:] = drow[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                mrow[:] = m_new
-            out_h = acc[:] / jnp.maximum(drow[:], 1e-20)
-            hacc[:] = hacc[:] + matmul(out_h, wco.at[h])
+                vc = vb[:, h].astype(jnp.float32)
+                acc[h] = acc[h] * alpha + jnp.sum(p[:, None, :] * vc, axis=2)
+                drow[h] = drow[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                mrow[h] = m_new
 
-        h_cross = hacc[:] + sm[BCO][None, :]
+        for h in range(H):
+            acc[h] = acc[h] / jnp.maximum(drow[h], 1e-20)
+        oh = jax.lax.dot_general(
+            acc[:].astype(jnp.bfloat16), wco[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        h_cross = jnp.sum(oh, axis=0) + sm[BCO][None, :]
         x_scr[:] = ln(x + h_cross, LN2G, LN2B)
+        for d in rmw_writes:
+            d.wait()
 
     pl.run_scoped(
         attn_phase,
-        wq=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
-        wk=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
-        wv=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
+        wqkv=pltpu.VMEM((D, 3 * D), jnp.bfloat16),
         wo=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
-        wcq=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
+        wcq=pltpu.VMEM((D, D), jnp.bfloat16),
         wco=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
-        kcb=pltpu.VMEM((B, D // n_heads, chunk), self_dtype),
-        vcb=pltpu.VMEM((B, D // n_heads, chunk), self_dtype),
-        ckb=pltpu.VMEM((B, D // n_heads, chunk), cross_dtype),
-        cvb=pltpu.VMEM((B, D // n_heads, chunk), cross_dtype),
-        acc=pltpu.VMEM((B, D // n_heads), jnp.float32),
-        mrow=pltpu.VMEM((B, 1), jnp.float32),
-        drow=pltpu.VMEM((B, 1), jnp.float32),
-        hacc=pltpu.VMEM((B, D), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((8,)),
+        kcb0=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
+        kcb1=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
+        vcb0=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
+        vcb1=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
+        ckb0=pltpu.VMEM((B, n_heads, D // n_heads, chunk), cross_dtype),
+        ckb1=pltpu.VMEM((B, n_heads, D // n_heads, chunk), cross_dtype),
+        cvb0=pltpu.VMEM((B, n_heads, D // n_heads, chunk), cross_dtype),
+        cvb1=pltpu.VMEM((B, n_heads, D // n_heads, chunk), cross_dtype),
+        rmwk=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
+        rmwv=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
+        qs=pltpu.VMEM((n_heads, B, D // n_heads), jnp.float32),
+        ks=pltpu.VMEM((n_heads, B, D // n_heads), jnp.float32),
+        vs=pltpu.VMEM((n_heads, B, D // n_heads), jnp.float32),
+        acc=pltpu.VMEM((n_heads, B, D // n_heads), jnp.float32),
+        mrow=pltpu.VMEM((n_heads, B, 1), jnp.float32),
+        drow=pltpu.VMEM((n_heads, B, 1), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((12,)),
     )
 
     # ---------------- phase B: FFN ------------------------------------------
@@ -294,30 +402,31 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         xout_ref[:] = x_scr[:]
 
 
-def pack_smalls(dec_layers, dtype=jnp.float32):
-    """[L, 9, D] f32: D-wide biases (so, co, ffn.out) + LN g/b."""
+def pack_smalls(dec_layers, n_heads: int, dtype=jnp.float32):
+    """[L, 10, D] f32: D-wide biases (so, co, ffn.out) + LN g/b + the
+    cross-q bias PRE-SCALED by 1/sqrt(Dh) (scale folded at pack time)."""
     sa, ca = dec_layers["self_attn"], dec_layers["cross_attn"]
+    L, D = sa["q"]["b"].shape
+    scale = (D // n_heads) ** -0.5
     rows = [sa["o"]["b"], ca["o"]["b"], dec_layers["ffn"]["out"]["b"],
             dec_layers["ln1"]["g"], dec_layers["ln1"]["b"],
             dec_layers["ln2"]["g"], dec_layers["ln2"]["b"],
-            dec_layers["ln3"]["g"], dec_layers["ln3"]["b"]]
-    return jnp.stack([r.astype(dtype) for r in rows], axis=1)  # [L, 9, D]
+            dec_layers["ln3"]["g"], dec_layers["ln3"]["b"],
+            ca["q"]["b"] * scale]
+    return jnp.stack([r.astype(dtype) for r in rows], axis=1)  # [L, 10, D]
 
 
-def pack_head_biases(dec_layers, n_heads: int, dtype=jnp.float32):
-    """[L, 4, H, Dh] f32: per-head q/k/v (self) + q (cross) biases."""
-    sa, ca = dec_layers["self_attn"], dec_layers["cross_attn"]
+def pack_qkv(dec_layers, n_heads: int, wdt=jnp.bfloat16):
+    """Packed self q|k|v: ([L, D, 3D] weights, [L, 3D] f32 bias), with the
+    1/sqrt(Dh) attention scale folded into the q third of both."""
+    sa = dec_layers["self_attn"]
     L, D = sa["q"]["b"].shape
-    rows = [sa["q"]["b"], sa["k"]["b"], sa["v"]["b"], ca["q"]["b"]]
-    packed = jnp.stack([r.astype(dtype) for r in rows], axis=1)  # [L, 4, D]
-    return packed.reshape(L, 4, n_heads, D // n_heads)
-
-
-def _heads_t(w, n_heads):
-    """[L, D_in, D_out] -> [L, H, Dh, D_in]: per-head, minor dim D_in
-    (128-aligned) so the HBM slab can be DMA-sliced per layer."""
-    L, Din, Dout = w.shape
-    return w.reshape(L, Din, n_heads, Dout // n_heads).transpose(0, 2, 3, 1)
+    scale = (D // n_heads) ** -0.5
+    w = jnp.concatenate([sa["q"]["w"] * scale, sa["k"]["w"], sa["v"]["w"]],
+                        axis=2).astype(wdt)
+    b = jnp.concatenate([sa["q"]["b"] * scale, sa["k"]["b"], sa["v"]["b"]],
+                        axis=1).astype(jnp.float32)
+    return w, b
 
 
 def _heads_o(w, n_heads):
@@ -364,9 +473,51 @@ def tm_init_cache(cfg, batch: int, max_steps: int, enc_len: int,
     return st5.DecoderCache(z(T), z(T), z(S), z(S))
 
 
+class FusedWeights(NamedTuple):
+    """Decoder weights pre-packed into the kernel's HBM layouts.
+
+    Pack ONCE (engine init / outside any scan) and thread through the jit
+    boundary: packing inside the per-step function puts ~25 MB of
+    concat/transpose/cast into every ``lax.scan`` iteration, and XLA does
+    NOT hoist it out of the while-loop (measured: the whole fused-kernel
+    advantage disappeared into an 80 ms/16-step packing floor)."""
+
+    wqkv: jnp.ndarray    # [L, D, 3D] bf16, q third pre-scaled
+    sow: jnp.ndarray     # [L, H, Dh, D] bf16
+    cqw: jnp.ndarray     # [L, D, D] bf16, pre-scaled
+    cow: jnp.ndarray     # [L, H, Dh, D] bf16
+    w1: jnp.ndarray      # [L, D, F] bf16
+    w2: jnp.ndarray      # [L, F, D] bf16
+    smalls: jnp.ndarray  # [L, 10, D] f32
+    bqkv: jnp.ndarray    # [L, 3D] f32
+    b1: jnp.ndarray      # [L, F] f32
+
+
+def pack_fused_weights(params, cfg, wdt=jnp.bfloat16) -> FusedWeights:
+    """Pack decoder params for :func:`fused_decode_step` (do this once)."""
+    dl = params["dec_layers"]
+    H = cfg.decoder_attention_heads
+    sa, ca = dl["self_attn"], dl["cross_attn"]
+    D = sa["q"]["b"].shape[1]
+    scale = (D // H) ** -0.5
+    wqkv, bqkv = pack_qkv(dl, H, wdt)
+    return FusedWeights(
+        wqkv=wqkv,
+        sow=_heads_o(sa["o"]["w"].astype(wdt), H),
+        cqw=(ca["q"]["w"] * scale).astype(wdt),
+        cow=_heads_o(ca["o"]["w"].astype(wdt), H),
+        w1=dl["ffn"]["in"]["w"].astype(wdt),
+        w2=dl["ffn"]["out"]["w"].astype(wdt),
+        smalls=pack_smalls(dl, H),
+        bqkv=bqkv,
+        b1=dl["ffn"]["in"]["b"].astype(jnp.float32),
+    )
+
+
 def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
                       chunk: int = 128, interpret: bool = False,
-                      time_minor: bool = False
+                      time_minor: bool = False,
+                      packed: FusedWeights | None = None,
                       ) -> Tuple[jnp.ndarray, object]:
     """Drop-in for ``speecht5.decode_step`` (x: [B, 1, D]).
 
@@ -375,8 +526,13 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
     tests and one-off use); the serving engine holds a
     :func:`tm_init_cache` cache and passes ``time_minor=True`` so no
     per-step transposition happens.  Cache K/V rows for the current
-    position are written back in XLA (vmapped dynamic update at per-slot
-    ``pos``), exactly like the oracle.
+    position are written IN-KERNEL (aliased caches, per-slot chunk RMW);
+    donate the cache into the enclosing jit so the aliasing is in-place.
+
+    ``packed``: pre-packed weights from :func:`pack_fused_weights`.  When
+    calling from inside a scan/loop, ALWAYS pack outside and pass them in
+    (see :class:`FusedWeights`); the fallback pack here re-runs every
+    iteration.
     """
     if not interpret:
         try:
@@ -388,21 +544,19 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
         T_orig = cache.self_k.shape[3]
         S_orig = cache.cross_k.shape[3]
         cache = to_time_minor(cache, chunk)
-    dl = params["dec_layers"]
+    fw = packed if packed is not None else pack_fused_weights(params, cfg)
     B = x.shape[0]
     D = x.shape[-1]
     H = cfg.decoder_attention_heads
     Dh = D // H
-    Lyr = dl["ln1"]["g"].shape[0]
-
-    smalls = pack_smalls(dl)
-    headb = pack_head_biases(dl, H)
-    b1 = dl["ffn"]["in"]["b"].astype(jnp.float32)  # [L, F]
-    wdt = jnp.bfloat16
+    Lyr = fw.smalls.shape[0]
 
     x0 = x[:, 0, :].astype(jnp.float32)
     pos_in = pos.astype(jnp.int32)[:, None]
-    maxpos = jnp.max(pos).astype(jnp.int32)[None]
+    # scalar prefetch: [max(pos), *pos] -- maxpos bounds chunk streaming,
+    # per-slot pos drive the in-kernel cache-write DMA offsets
+    spos = jnp.concatenate([jnp.max(pos).astype(jnp.int32)[None],
+                            pos.astype(jnp.int32)])
     S_pad = cache.cross_k.shape[4]
     S_real = S_orig if canonical else (
         enc_mask.shape[1] if enc_mask is not None else S_pad)
@@ -429,16 +583,14 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pos
             pl.BlockSpec(memory_space=pltpu.VMEM),   # encb (chunked)
-            pl.BlockSpec(memory_space=pl.ANY),    # sqw
-            pl.BlockSpec(memory_space=pl.ANY),    # skw
-            pl.BlockSpec(memory_space=pl.ANY),    # svw
+            pl.BlockSpec(memory_space=pl.ANY),    # sqkvw (packed)
             pl.BlockSpec(memory_space=pl.ANY),    # sow
             pl.BlockSpec(memory_space=pl.ANY),    # cqw
             pl.BlockSpec(memory_space=pl.ANY),    # cow
             pl.BlockSpec(memory_space=pl.ANY),    # w1
             pl.BlockSpec(memory_space=pl.ANY),    # w2
             pl.BlockSpec(memory_space=pltpu.VMEM),   # smalls
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # headb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bqkv
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
             pl.BlockSpec(memory_space=pl.ANY),    # selfk
             pl.BlockSpec(memory_space=pl.ANY),    # selfv
@@ -446,48 +598,39 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
             pl.BlockSpec(memory_space=pl.ANY),    # crossv
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),                    # xout
-            pl.BlockSpec((1, H, B, Dh), lambda l, *_: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),                     # knew
-            pl.BlockSpec((1, H, B, Dh), lambda l, *_: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),                     # vnew
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xout
+            pl.BlockSpec(memory_space=pl.ANY),    # selfk (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),    # selfv (aliased)
         ),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
     )
 
-    sa, ca = dl["self_attn"], dl["cross_attn"]
-    xout, knew, vnew = pl.pallas_call(
+    xout, selfk_new, selfv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((Lyr, H, B, Dh), cache.self_k.dtype),
-            jax.ShapeDtypeStruct((Lyr, H, B, Dh), cache.self_v.dtype),
+            jax.ShapeDtypeStruct(cache.self_k.shape, cache.self_k.dtype),
+            jax.ShapeDtypeStruct(cache.self_v.shape, cache.self_v.dtype),
         ),
+        # the self K/V caches alias through the kernel, which writes the
+        # current row itself (per-slot chunk RMW): an XLA-side scatter
+        # would force a full-cache copy every step (copy-insertion around
+        # the custom call); flattened input indices include the scalar
+        # prefetch operand
+        input_output_aliases={13: 1, 14: 2},
+        # all-head double-buffered K/V streaming wants ~55 MB of scoped
+        # VMEM at B=24 full dims -- above the 16 MB default, well under
+        # the 128 MB physical VMEM (v5e/v6e)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(maxpos, x0, pos_in, encb,
-      _heads_t(sa["q"]["w"].astype(wdt), H),
-      _heads_t(sa["k"]["w"].astype(wdt), H),
-      _heads_t(sa["v"]["w"].astype(wdt), H),
-      _heads_o(sa["o"]["w"].astype(wdt), H),
-      _heads_t(ca["q"]["w"].astype(wdt), H),
-      _heads_o(ca["o"]["w"].astype(wdt), H),
-      dl["ffn"]["in"]["w"].astype(wdt), dl["ffn"]["out"]["w"].astype(wdt),
-      smalls, headb, b1,
+    )(spos, x0, pos_in, encb,
+      fw.wqkv, fw.sow, fw.cqw, fw.cow, fw.w1, fw.w2,
+      fw.smalls, fw.bqkv, fw.b1,
       cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
 
-    # cache writes in XLA (per-slot pos; in-place under donation)
-    knew_h = knew.transpose(0, 2, 1, 3)  # [L, B, H, Dh]
-    vnew_h = vnew.transpose(0, 2, 1, 3)
-
-    def upd(c, new):  # c [L,B,H,Dh,T], new [L,B,H,Dh]
-        def one(cb, nb, p):  # [L,H,Dh,T], [L,H,Dh], scalar
-            return jax.lax.dynamic_update_slice_in_dim(
-                cb, nb[:, :, :, None], p, axis=3)
-        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(c, new, pos)
-
-    cache = cache._replace(self_k=upd(cache.self_k, knew_h),
-                           self_v=upd(cache.self_v, vnew_h))
+    cache = cache._replace(self_k=selfk_new, self_v=selfv_new)
     if canonical:
         cache = from_time_minor(cache, T_orig, S_orig)
     return xout.astype(x.dtype)[:, None, :], cache

@@ -167,8 +167,17 @@ class TTSEngine:
         # context carry -- a single device dispatch and a single
         # device->host fetch per tick (the per-call tunnel/PCIe latency
         # dominates otherwise)
+        # fused-kernel weights are packed ONCE here: packing inside the
+        # jitted step would re-run ~25 MB of concat/transpose/cast every
+        # lax.scan iteration (XLA does not hoist it out of the while-loop)
+        self._fused_w = None
+        if self._use_fused_step():
+            from ..ops.tts_step import pack_fused_weights
+
+            self._fused_w = jax.jit(
+                lambda p: pack_fused_weights(p, cfg))(params)
         self._step_fns = {
-            n: jax.jit(partial(self._step_fused, n_frames=n), donate_argnums=(1,))
+            n: jax.jit(partial(self._step_fused, n_frames=n), donate_argnums=(2,))
             for n in sorted(set(ecfg.chunk_schedule))
         }
 
@@ -266,14 +275,17 @@ class TTSEngine:
             return False  # int8-quantized decoder: kernel is bf16-dense only
         if self.ecfg.fused_step is not None:
             return self.ecfg.fused_step
-        # default OFF: the first-generation kernel's [B, D] -> [B, H, Dh]
-        # head split is a lane-dim shape cast Mosaic cannot lower (measured
-        # on v5e: "infer-vector-layout: unsupported shape cast"); opt in
-        # explicitly (ecfg.fused_step=True) for A/B once the per-head
-        # matmul variant lands
-        return False
+        # default ON on TPU: the packed-QKV kernel with in-kernel cache
+        # writes measured 1.75 ms/AR-step at B=24 full dims vs 6.7 ms for
+        # the XLA oracle (3.8x device throughput; ops/tts_step.py).  On
+        # CPU the kernel only runs in (slow) interpret mode -- keep the
+        # XLA oracle there unless explicitly requested (tests opt in).
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            return False
 
-    def _decode_chunk(self, params, state: TTSState, rng, paused, *,
+    def _decode_chunk(self, params, fused_w, state: TTSState, rng, paused, *,
                       n_frames: int):
         """Run ``n_frames // r`` AR steps for all slots (jitted, donated).
 
@@ -299,7 +311,8 @@ class TTSEngine:
                 h, cache = fused_decode_step(params, cfg, x, state.cache,
                                              state.pos,
                                              enc_mask=state.enc_mask,
-                                             time_minor=True)
+                                             time_minor=True,
+                                             packed=fused_w)
             else:
                 h, cache = st5.decode_step(params, cfg, x, state.cache,
                                            state.pos,
@@ -329,7 +342,7 @@ class TTSEngine:
         frame_valid = jnp.repeat(run_flags.T, r, axis=1)  # [B, n_frames]
         return state, mels, frame_valid
 
-    def _step_fused(self, params, state: TTSState, seed, paused, *,
+    def _step_fused(self, params, fused_w, state: TTSState, seed, paused, *,
                     n_frames: int):
         """Fused tick: decode chunk + vocode + state carry (jitted, donated).
 
@@ -337,8 +350,9 @@ class TTSEngine:
         so a tick costs exactly ONE dispatch (per-call tunnel/PCIe latency
         dominates the 20 ms compute otherwise)."""
         rng = jax.random.PRNGKey(seed)
-        state, mels, frame_valid = self._decode_chunk(params, state, rng,
-                                                      paused, n_frames=n_frames)
+        state, mels, frame_valid = self._decode_chunk(params, fused_w, state,
+                                                      rng, paused,
+                                                      n_frames=n_frames)
         audio, new_ctx = self._vocode(params, state.mel_ctx, mels,
                                       n_frames=n_frames)
         ran_any = jnp.any(frame_valid, axis=1)  # paused/idle slots keep ctx
@@ -626,7 +640,8 @@ class TTSEngine:
         paused = np.array([s is not None and s.paused for s in self.sessions])
         self._seed = np.uint32(self._seed + 1)
         self.state, audio, frame_valid = self._step_fns[n_frames](
-            self.params, self.state, self._seed, jnp.asarray(paused))
+            self.params, self._fused_w, self.state, self._seed,
+            jnp.asarray(paused))
         # tick cadence: inter-dispatch interval ~= device step time when the
         # pipeline is saturated (dispatch itself returns immediately)
         now = time.monotonic()
