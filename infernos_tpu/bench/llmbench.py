@@ -63,16 +63,25 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     def zeros_init():
-        shapes = jax.eval_shape(lambda k: qwen.init_params(k, cfg),
-                                jax.random.PRNGKey(0))
+        # build zeros DIRECTLY in the final (possibly int8-quantized)
+        # shapes: materializing 7B bf16 zeros first (15.2 GB) and
+        # quantizing after does not fit a 16 GB chip
+        def build(k):
+            p = qwen.init_params(k, cfg)
+            if a.int8 and a.dims == "7b":
+                from ..models import quant
+
+                p = quant.quantize_params(p)
+            return p
+
+        shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
         return jax.jit(lambda: jax.tree_util.tree_map(
-            lambda sd: jnp.zeros(sd.shape, dtype), shapes))()
+            lambda sd: jnp.zeros(
+                sd.shape,
+                sd.dtype if sd.dtype == jnp.int8 else dtype),
+            shapes))()
 
     params = zeros_init()
-    if a.int8 and a.dims == "7b":
-        from ..models import quant
-
-        params = jax.jit(lambda p: quant.quantize_params(p))(params)
 
     ecfg = LLMEngineConfig(
         batch_slots=a.slots, prompt_buckets=(a.prompt,),

@@ -271,6 +271,13 @@ class LLMEngine:
         else:
             (self.cache, self.pos, self.cur_tok, _) = self._step_fn(
                 self.params, self.cache, self.pos, self.cur_tok, self.done)
+        # force a host round-trip: on remote-compile backends (axon) the
+        # first EXECUTION of a cache-loaded executable can stall for
+        # minutes on server-side program load, and block_until_ready on
+        # the outputs does NOT flush it -- a small fetch does.  Absorb it
+        # here so the first live request never pays it (measured: 72-422 s
+        # landing inside the first submit without this).
+        _ = jax.device_get(self.pos)
 
     def abort_all(self, reason: str = "engine failure") -> None:
         """Supervision hook: flush a final (possibly partial) result to every
