@@ -286,6 +286,101 @@ def decode_step(params, cfg: WhisperConfig, tokens, cache: WhisperCache, pos,
     return logits, cache._replace(self_k=sk, self_v=sv)
 
 
+def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, prompt_len, *,
+                beam_size: int, max_new: int, eos_id: int,
+                suppress_mask=None, begin_suppress_mask=None,
+                length_penalty: float = 1.0,
+                dtype=jnp.float32):
+    """Batched beam search for ONE utterance (quality path).
+
+    The reference serves through ctranslate2's default beam search
+    (``Cluster/InfernSTTWorker.py:65``); this repo's slot engine decodes
+    greedily for throughput and uses beam as the top rung of the decode-
+    quality ladder (greedy -> escalating temperature -> beam).
+
+    ``enc_out`` [1, S, D], ``prompt`` [P] int32 padded, ``prompt_len``
+    scalar (dynamic).  One jittable program: prompt prefill (junk pad
+    positions are overwritten in AR order before they are ever attended),
+    then ``max_new`` expansion steps over ``beam_size`` beams with the
+    self K/V cache gathered by parent beam each step.  Finished beams
+    continue with zero-cost EOS so their scores freeze.
+
+    Returns (tokens [max_new] int32 -- EOS-padded, n_tokens, sum_logprob)
+    of the best length-normalized finished-or-running beam.
+    """
+    W = beam_size
+    P = prompt.shape[0]
+    V = params["tok_embed"]["w"].shape[0]
+    NEG = -1e30
+
+    cache = init_cache(cfg, 1, P + max_new, enc_out.shape[1], dtype)
+    cache = fill_cross_kv(params, cfg, cache, enc_out)
+
+    def pre(carry, x):
+        cache, last = carry
+        i, tok = x
+        logits, cache = decode_step(params, cfg, tok[None], cache,
+                                    jnp.full((1,), i, jnp.int32))
+        last = jnp.where(i == prompt_len - 1, logits[0], last)
+        return (cache, last), None
+
+    (cache, last_logits), _ = jax.lax.scan(
+        pre, (cache, jnp.zeros((V,), jnp.float32)),
+        (jnp.arange(P), prompt))
+
+    cache = jax.tree_util.tree_map(lambda a: jnp.repeat(a, W, axis=1), cache)
+    eos_onehot = jnp.arange(V) == eos_id
+
+    def logp_of(logits):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if suppress_mask is not None:
+            lp = jnp.where(suppress_mask[None, :], NEG, lp)
+        return lp
+
+    def expand(cum, fin, lp):
+        lp = jnp.where(fin[:, None],
+                       jnp.where(eos_onehot[None, :], 0.0, NEG), lp)
+        scores = (cum[:, None] + lp).reshape(-1)
+        top, idx = jax.lax.top_k(scores, W)
+        return top, idx // V, idx % V
+
+    # initial expansion: all beams share the prefilled cache; only beam 0
+    # is alive so the top-W picks W DISTINCT first tokens
+    cum0 = jnp.where(jnp.arange(W) == 0, 0.0, NEG)
+    lp0 = logp_of(jnp.broadcast_to(last_logits[None], (W, V)))
+    if begin_suppress_mask is not None:  # first-position-only suppress set
+        lp0 = jnp.where(begin_suppress_mask[None, :], NEG, lp0)
+    cum, _, tok = expand(cum0, jnp.zeros((W,), bool), lp0)
+    fin = tok == eos_id
+    n_gen = jnp.where(fin, 0, 1)
+    toks = jnp.zeros((W, max_new), jnp.int32).at[:, 0].set(tok)
+
+    def step(carry, t):
+        cache, cur, cum, fin, n_gen, toks = carry
+        pos = jnp.full((W,), 0, jnp.int32) + prompt_len + t - 1
+        logits, cache = decode_step(params, cfg, cur, cache, pos)
+        cum, parent, tok = expand(cum, fin, logp_of(logits))
+        take = lambda a: jnp.take(a, parent, axis=1)
+        cache = cache._replace(self_k=take(cache.self_k),
+                               self_v=take(cache.self_v))
+        fin = fin[parent]
+        n_gen = n_gen[parent]
+        toks = toks[parent]
+        now_eos = tok == eos_id
+        n_gen = jnp.where(jnp.logical_or(fin, now_eos), n_gen, n_gen + 1)
+        toks = toks.at[:, t].set(jnp.where(fin, eos_id, tok))
+        fin = jnp.logical_or(fin, now_eos)
+        return (cache, tok, cum, fin, n_gen, toks), None
+
+    (cache, _, cum, fin, n_gen, toks), _ = jax.lax.scan(
+        step, (cache, tok, cum, fin, n_gen, toks),
+        jnp.arange(1, max_new))
+
+    norm = jnp.maximum(n_gen, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(cum / norm)
+    return toks[best], n_gen[best], cum[best]
+
+
 # -- HF weight porting ---------------------------------------------------------
 
 def _t(x):

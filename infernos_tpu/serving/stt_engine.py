@@ -110,6 +110,14 @@ class STTEngineConfig:
     fallback_temperatures: Sequence[float] = ()
     logprob_threshold: float = -1.0
     compression_ratio_threshold: float = 2.4
+    # top rung of the ladder: when the temperature ladder is exhausted and
+    # the gate still fails, re-decode ONCE with beam search
+    # (models/whisper.py beam_decode -- the reference's ct2 default decode
+    # mode, InfernSTTWorker.py:65).  0 = off.  The beam program runs one
+    # utterance per dispatch and blocks the engine thread for its
+    # duration, so it is a rare-path quality tool, not the serving path.
+    fallback_beam_size: int = 0
+    beam_length_penalty: float = 1.0
 
     @property
     def max_total_tokens(self) -> int:
@@ -145,6 +153,7 @@ class STTRequest:
     # decode-quality ladder state (engine-managed)
     temperature: float = 0.0
     attempt: int = 0
+    beam_done: bool = False
 
 
 @dataclasses.dataclass
@@ -208,6 +217,7 @@ class STTEngine:
         self._prefill_fn = jax.jit(self._prefill)
         self._join_fn = jax.jit(self._join, donate_argnums=(1,))
         self._step_fn = jax.jit(self._step, donate_argnums=(1,))
+        self._beam_fn = jax.jit(self._beam) if ecfg.fallback_beam_size else None
 
     # -- jitted programs ------------------------------------------------------
 
@@ -542,19 +552,75 @@ class STTEngine:
 
         return len(b) / len(zlib.compress(b))
 
-    def _needs_fallback(self, req: STTRequest, res: STTResult) -> bool:
-        """OpenAI whisper quality gate: retry at higher temperature on low
-        avg logprob or a repetition loop; silence is NOT retried."""
+    def _gate_fails(self, req: STTRequest, res: STTResult) -> bool:
+        """OpenAI whisper quality gate: low avg logprob or a repetition
+        loop; silence is NOT retried."""
         e = self.ecfg
-        if not e.fallback_temperatures:
-            return False
-        if req.attempt >= len(e.fallback_temperatures):
-            return False
         if res.no_speech_prob > req.max_ns_prob:
             return False  # treated as silence upstream; retry wastes a slot
         if res.compression_ratio > e.compression_ratio_threshold:
             return True
         return res.avg_logprob < e.logprob_threshold
+
+    def _needs_fallback(self, req: STTRequest, res: STTResult) -> bool:
+        e = self.ecfg
+        if not e.fallback_temperatures:
+            return False
+        if req.attempt >= len(e.fallback_temperatures):
+            return False
+        return self._gate_fails(req, res)
+
+    # -- beam rung (quality path) ---------------------------------------------
+
+    def _beam(self, params, enc, prompt, prompt_len):
+        """Jitted beam-search re-decode of one utterance (retraces per
+        encode bucket -- enc shape differs)."""
+        e = self.ecfg
+
+        def mask_of(ids):
+            if not ids:
+                return None
+            return jnp.zeros((self.cfg.vocab_size,), bool
+                             ).at[jnp.asarray(ids)].set(True)
+
+        return wsp.beam_decode(
+            params, self.cfg, enc, prompt, prompt_len,
+            beam_size=e.fallback_beam_size, max_new=e.max_new_tokens,
+            eos_id=self.cfg.eos_token_id,
+            suppress_mask=mask_of(self._suppress_ids()),
+            begin_suppress_mask=mask_of(self._begin_suppress_ids()),
+            length_penalty=e.beam_length_penalty, dtype=e.dtype)
+
+    def _beam_redecode(self, req: STTRequest, base: STTResult) -> STTResult:
+        """Top ladder rung: one blocking beam-search dispatch (reference
+        decodes through ct2's default beam, InfernSTTWorker.py:65)."""
+        e = self.ecfg
+        t0 = time.monotonic()
+        bucket = self._bucket_for(len(req.audio))
+        n = bucket * e.sample_rate
+        audio = np.zeros((1, n), np.float32)
+        audio[0, : min(len(req.audio), n)] = req.audio[:n]
+        enc = self._encode_fns[bucket](self.params, jnp.asarray(audio))
+        prompt, _ = self._build_prompt(req)
+        toks = np.zeros((e.max_prompt_tokens,), np.int32)
+        toks[: len(prompt)] = prompt
+        tk, ng, slp = jax.device_get(self._beam_fn(
+            self.params, enc, jnp.asarray(toks), jnp.int32(len(prompt))))
+        ng = int(ng)
+        tokens = [int(t) for t in tk[:ng] if int(t) != self.cfg.eos_token_id]
+        res = STTResult(tokens=tokens, no_speech_prob=base.no_speech_prob,
+                        duration=base.duration,
+                        inf_time=base.inf_time + (time.monotonic() - t0))
+        res.avg_logprob = float(slp) / max(1, ng)
+        if req.timestamps and self.cfg.vocab_size >= V2_VOCAB:
+            from ..models.whisper_tokens import decode_with_timestamps
+            res.text = decode_with_timestamps(
+                res.tokens, self.detokenize,
+                specials_for_vocab(self.cfg.vocab_size))
+        else:
+            res.text = self.detokenize(res.tokens)
+        res.compression_ratio = self._compression_ratio(res.text)
+        return res
 
     def _finish(self, slot: int, sess: _Slot) -> None:
         self.slots[slot] = None
@@ -576,6 +642,19 @@ class STTEngine:
             res.text = self.detokenize(res.tokens)
         res.compression_ratio = self._compression_ratio(res.text)
         retry = self._needs_fallback(req, res)
+        if (not retry and self._beam_fn is not None and not req.beam_done
+                and self._gate_fails(req, res)):
+            # temperature ladder exhausted (or absent) and the gate still
+            # fails: ONE beam re-decode, then deliver whatever it says
+            req.beam_done = True
+            metrics.inc("stt.beam_redecodes")
+            log.info("stt beam rung: avg_logprob %.2f cr %.2f -> beam %d",
+                     res.avg_logprob, res.compression_ratio,
+                     self.ecfg.fallback_beam_size)
+            try:
+                res = self._beam_redecode(req, res)
+            except Exception:
+                log.exception("stt beam re-decode failed; keeping greedy result")
         if retry:
             # escalate: re-decode the same utterance at the next ladder
             # temperature; the caller sees only the final result

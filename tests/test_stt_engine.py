@@ -227,3 +227,98 @@ def test_greedy_tokens_unchanged_by_logprob_tracking(engine):
         pass
     assert res[0].tokens == res2[0].tokens
     assert res[0].avg_logprob == pytest.approx(res2[0].avg_logprob)
+
+
+def _seq_logprob(params, cfg, enc, prompt, tokens):
+    """Teacher-forced sum logprob of ``tokens`` after ``prompt``."""
+    import jax.numpy as jnp
+
+    full = np.concatenate([prompt, tokens]).astype(np.int32)
+    logits = wsp.decode_full(params, cfg, jnp.asarray(full[None]), enc)
+    lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+    P = len(prompt)
+    return float(sum(lp[P - 1 + i, t] for i, t in enumerate(tokens)))
+
+
+def test_beam_size_one_matches_greedy():
+    """beam_decode(W=1) must reproduce the greedy AR sequence exactly."""
+    import jax.numpy as jnp
+
+    params = wsp.init_params(jax.random.PRNGKey(1), TINY)
+    mel = 0.1 * np.random.default_rng(0).standard_normal((1, 20, 50))
+    enc = wsp.encode(params, TINY, jnp.asarray(mel, jnp.float32))
+    prompt = np.asarray([3, 10, 12], np.int32)
+    max_new = 8
+
+    # greedy oracle via decode_full re-feeding
+    toks = list(prompt)
+    greedy = []
+    for _ in range(max_new):
+        logits = wsp.decode_full(params, TINY, jnp.asarray(
+            np.asarray(toks, np.int32)[None]), enc)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        if nxt == TINY.eos_token_id:
+            break
+        greedy.append(nxt)
+        toks.append(nxt)
+
+    tk, ng, _ = wsp.beam_decode(
+        params, TINY, enc, jnp.asarray(prompt), jnp.int32(len(prompt)),
+        beam_size=1, max_new=max_new, eos_id=TINY.eos_token_id)
+    got = [int(t) for t in np.asarray(tk)[: int(ng)]]
+    assert got == greedy, (got, greedy)
+
+
+def test_beam_logprob_not_worse_than_greedy():
+    """A wider beam must find a sequence whose teacher-forced logprob is
+    >= the greedy sequence's (the whole point of beam search)."""
+    import jax.numpy as jnp
+
+    params = wsp.init_params(jax.random.PRNGKey(5), TINY)
+    mel = 0.1 * np.random.default_rng(3).standard_normal((1, 20, 50))
+    enc = wsp.encode(params, TINY, jnp.asarray(mel, jnp.float32))
+    prompt = np.asarray([3, 10, 12], np.int32)
+    max_new = 6
+
+    g_tk, g_ng, g_lp = wsp.beam_decode(
+        params, TINY, enc, jnp.asarray(prompt), jnp.int32(len(prompt)),
+        beam_size=1, max_new=max_new, eos_id=TINY.eos_token_id)
+    b_tk, b_ng, b_lp = wsp.beam_decode(
+        params, TINY, enc, jnp.asarray(prompt), jnp.int32(len(prompt)),
+        beam_size=4, max_new=max_new, eos_id=TINY.eos_token_id)
+    # verify the reported cum logprobs against teacher-forced truth
+    for tk, ng, lp in ((g_tk, g_ng, g_lp), (b_tk, b_ng, b_lp)):
+        toks = [int(t) for t in np.asarray(tk)[: int(ng)]]
+        if toks:
+            ref = _seq_logprob(params, TINY, enc, prompt, toks)
+            # beam scores include the eos step for finished beams
+            assert float(lp) <= 0.0
+            assert abs(ref - float(lp)) < 2.5, (ref, float(lp))
+    assert float(b_lp) >= float(g_lp) - 1e-4
+
+
+def test_beam_rung_fires_after_ladder():
+    """fallback_beam_size: gate fails, temperatures exhausted -> one beam
+    re-decode, caller sees exactly one final result."""
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    ecfg = STTEngineConfig(
+        batch_slots=2, buckets_s=(1,), sample_rate=16000,
+        max_new_tokens=8, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4,
+        fallback_temperatures=(0.5,), logprob_threshold=1.0,
+        fallback_beam_size=3)
+    eng = STTEngine(params, TINY, ecfg)
+    from infernos_tpu.utils.metrics import metrics as _m
+    before = _m.counters.get("stt.beam_redecodes", 0)
+    results = []
+    req = STTRequest(audio=_audio(0.5), text_cb=results.append,
+                     max_ns_prob=1.1)
+    eng.submit(req)
+    steps = 0
+    while eng.step() and steps < 500:
+        steps += 1
+    assert len(results) == 1
+    assert req.beam_done
+    assert _m.counters.get("stt.beam_redecodes", 0) == before + 1
+    assert all(0 <= t < TINY.vocab_size for t in results[0].tokens)
