@@ -124,3 +124,27 @@ def test_engine_audio_parity_fused_vs_xla():
     a_fused = run(True)
     assert a_xla.shape == a_fused.shape
     np.testing.assert_allclose(a_fused, a_xla, rtol=5e-2, atol=5e-2)
+
+
+def test_fused_step_bf16_cache_parity():
+    """bf16 K/V caches (the TPU serving dtype): the in-kernel RMW merges
+    in f32 and casts on store; parity within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    params, cache, x, pos, enc_mask = _setup(seed=11)
+    bf = lambda a: a.astype(jnp.bfloat16)
+    cache16 = cache._replace(self_k=bf(cache.self_k), self_v=bf(cache.self_v),
+                             cross_k=bf(cache.cross_k),
+                             cross_v=bf(cache.cross_v))
+    params16 = jax.tree_util.tree_map(bf, params)
+    h_ref, cache_ref = st5.decode_step(params16, CFG, x.astype(jnp.bfloat16),
+                                       cache16, pos, enc_mask=enc_mask)
+    h_fus, cache_fus = fused_decode_step(params16, CFG, x, cache16, pos,
+                                         enc_mask=enc_mask, chunk=8,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(h_fus, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               rtol=6e-2, atol=6e-2)
+    np.testing.assert_allclose(np.asarray(cache_fus.self_k, np.float32),
+                               np.asarray(cache_ref.self_k, np.float32),
+                               rtol=6e-2, atol=6e-2)
