@@ -69,7 +69,45 @@ def _run(args, env_extra=None, timeout=3600, attempts=2, cooldown=120.0):
     return None, last_out
 
 
+def _device_preflight(attempts=4, probe_timeout=420, cooldown=120.0) -> bool:
+    """Bounded check that the accelerator grants a claim at all.
+
+    The axon tunnel can refuse claims for stretches (observed 2026-08-17:
+    ~2 h where ``jax.devices()`` blocked forever server-side).  Without
+    this, every sub-bench burns its full subprocess timeout before the
+    fallback JSON line appears -- hours of nothing.  Probe in a THROWAWAY
+    subprocess (a failed claim poisons the process), retrying through
+    the ~90 s claim cooldown.
+    """
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128));"
+            "print('PREFLIGHT_OK', (x @ x)[0, 0])")
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(cooldown)
+        try:
+            proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                                  capture_output=True, text=True,
+                                  timeout=probe_timeout)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"preflight attempt {attempt + 1}: claim "
+                             f"timed out after {probe_timeout}s\n")
+            continue
+        if "PREFLIGHT_OK" in proc.stdout:
+            return True
+        sys.stderr.write(f"preflight attempt {attempt + 1} failed:\n"
+                         + proc.stderr[-2000:] + "\n")
+    return False
+
+
 def main() -> None:
+    if not _device_preflight():
+        print(json.dumps({
+            "metric": "lt_calls_per_chip", "value": 0,
+            "unit": "concurrent two-leg LT calls", "vs_baseline": 0.0,
+            "detail": {"error": "accelerator unreachable: device claim "
+                                "never granted during preflight"}}))
+        return
+    time.sleep(95.0)  # claim cooldown after the preflight subprocess
     # -- TTS paced-calls component bench --------------------------------------
     tts, _ = _run(["-m", "infernos_tpu.bench.ttsmain"], timeout=3600)
 
@@ -85,7 +123,10 @@ def main() -> None:
         args = ["-m", "infernos_tpu.bench.ltbench", "--ramp", "--full",
                 "--turns", "2",
                 "--sla", os.environ.get("BENCH_LT_SLA", "3.5")]
-        lt, _ = _run(args, env_extra=env_extra, timeout=3600)
+        # 7200 s: a cold compile cache costs the full-dims engines ~20-40
+        # min of XLA/Mosaic compiles before the ramp even starts (warm
+        # cache replays in seconds -- tools/warm_cache.py)
+        lt, _ = _run(args, env_extra=env_extra, timeout=7200)
 
     # -- loopback QA on the in-repo-trained tiny pair (similarity is the
     # -- realness check: VERDICT r2 item 2 'Done' criterion) ------------------

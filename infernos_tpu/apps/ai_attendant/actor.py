@@ -15,6 +15,7 @@ from typing import Dict, List, Optional
 from ...cluster.actors import Actor, ActorHandle, spawn
 from ...cluster.model_actors import LLMActor, STTActor, TTSActor
 from ...utils.logging import get_logger
+from ...utils.platform import model_start_timeout
 from .session import AIASession
 
 log = get_logger("apps.aia")
@@ -60,11 +61,12 @@ class AIAActor(Actor):
         self.llm_actr = llm_actr or spawn(LLMActor, tiny=self.tiny,
                                           name=f"llm:{self.profile.name}")
         if tts_actr is None:
-            self.tts_actr.ask_sync("start", self.profile.tts_lang, timeout=1200)
+            self.tts_actr.ask_sync("start", self.profile.tts_lang,
+                                   timeout=model_start_timeout())
         if stt_actr is None:
-            self.stt_actr.ask_sync("start", timeout=1200)
+            self.stt_actr.ask_sync("start", timeout=model_start_timeout())
         if llm_actr is None:
-            self.llm_actr.ask_sync("start", timeout=1200)
+            self.llm_actr.ask_sync("start", timeout=model_start_timeout())
         log.info("AIAActor %s ready", self.profile.name)
 
     # -- session routing --------------------------------------------------------

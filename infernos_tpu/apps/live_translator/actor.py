@@ -16,6 +16,7 @@ from ...cluster.actors import Actor, ActorHandle, spawn
 from ...cluster.model_actors import STTActor, TTSActor
 from ...t2t.translator import EchoBackend, Translator, get_translator
 from ...utils.logging import get_logger
+from ...utils.platform import model_start_timeout
 from ...utils.metrics import metrics
 from .session import LTSession
 
@@ -48,14 +49,14 @@ class LTActor(Actor):
             for lang in self.profile.tts_langs:
                 h = spawn(TTSActor, tiny=self.tiny,
                           name=f"tts:{self.profile.name}:{lang}")
-                h.ask_sync("start", lang, timeout=1200)
+                h.ask_sync("start", lang, timeout=model_start_timeout())
                 self.tts_actrs[lang] = h
         if stt_actr is not None:
             self.stt_actr = stt_actr
         else:
             self.stt_actr = spawn(STTActor, tiny=self.tiny,
                                   name=f"stt:{self.profile.name}")
-            self.stt_actr.ask_sync("start", timeout=1200)
+            self.stt_actr.ask_sync("start", timeout=model_start_timeout())
         log.info("LTActor %s ready (langs %s)", self.profile.name,
                  self.profile.tts_langs)
 

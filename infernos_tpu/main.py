@@ -20,6 +20,7 @@ from .cluster.rtp_actor import RTPActor
 from .config import InfernConfig
 from .config.config import AIAProfileConf, LTProfileConf
 from .utils.logging import get_logger
+from .utils.platform import model_start_timeout
 
 log = get_logger("main")
 
@@ -67,7 +68,8 @@ def build_cluster(iconf: InfernConfig, tiny: bool = False,
     sip_actr.ask_sync("ready_check", timeout=30)
     for key, h in app_actors.items():
         h.ask_sync("start", h, sip_actr, rtp_actr, stt_actr=stt_actr,
-                   **(start_kwargs or {}), timeout=1800)
+                   **(start_kwargs or {}),
+                   timeout=4 * model_start_timeout())
     return handles
 
 

@@ -258,6 +258,69 @@ def attention_step(
     return linear(merge_heads(out), p["o"]), k_cache, v_cache
 
 
+def attention_step_ring(
+    p: Params,
+    x_q,
+    *,
+    n_heads: int,
+    k_cache,
+    v_cache,
+    ring_k,
+    ring_v,
+    pos0,
+    step_i,
+    kv_len_mask=None,
+):
+    """Self-attention step that defers the per-slot cache write.
+
+    ``attention_step``'s vmapped per-slot ``dynamic_update_slice`` lowers
+    to a batch scatter, and XLA's copy-insertion materialises a FULL cache
+    copy every scan iteration (measured ~1.2 GB/step extra at B=32
+    whisper-large dims, ~16%% of step time).  This variant writes the new
+    K/V column into a small per-dispatch ring at the UNIFORM index
+    ``step_i`` -- a scalar-indexed update XLA does in place -- and the
+    engine merges the ring into the big cache ONCE per K-step dispatch
+    (``whisper.merge_ring``), amortising the scatter K-fold.
+
+    Attention reads: big-cache columns ``< pos0`` (the slot's position at
+    dispatch entry; this dispatch's earlier columns live in the ring),
+    ring columns ``< step_i``, and the current K/V directly.
+
+    x_q ``[B, 1, D]``; caches ``[B, H, Tmax, Dh]``; rings ``[B, H, K, Dh]``;
+    ``pos0`` ``[B]`` int32; ``step_i`` scalar int32.
+    Returns (out ``[B, 1, D]``, ring_k, ring_v).
+    """
+    B, _, D = x_q.shape
+    dh = D // n_heads
+    scale = dh**-0.5
+    q = split_heads(linear(x_q, p["q"]), n_heads) * scale  # [B,H,1,dh]
+    k_new = split_heads(linear(x_q, p["k"]), n_heads)[:, :, 0]  # [B,H,dh]
+    v_new = split_heads(linear(x_q, p["v"]), n_heads)[:, :, 0]
+    ring_k = jax.lax.dynamic_update_slice_in_dim(
+        ring_k, k_new[:, :, None], step_i, axis=2)
+    ring_v = jax.lax.dynamic_update_slice_in_dim(
+        ring_v, v_new[:, :, None], step_i, axis=2)
+
+    Tmax = k_cache.shape[2]
+    K = ring_k.shape[2]
+    kpos = jnp.arange(Tmax)[None, None, None, :]  # [1,1,1,T]
+    valid = kpos < pos0[:, None, None, None]
+    if kv_len_mask is not None:
+        valid = jnp.logical_and(valid, kv_len_mask[:, None, None, :])
+    big = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache)
+    big = jnp.where(valid, big, NEG_INF)
+    ring = jnp.einsum("bhqd,bhkd->bhqk", q, ring_k)
+    rvalid = (jnp.arange(K) < step_i)[None, None, None, :]
+    ring = jnp.where(rvalid, ring, NEG_INF)
+    cur = jnp.einsum("bhqd,bhd->bhq", q, k_new)[..., None]  # [B,H,1,1]
+    logits = jnp.concatenate([big, ring, cur], axis=-1)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = (jnp.einsum("bhqk,bhkd->bhqd", w[..., :Tmax], v_cache)
+           + jnp.einsum("bhqk,bhkd->bhqd", w[..., Tmax:Tmax + K], ring_v)
+           + w[..., Tmax + K:] * v_new[:, :, None, :])
+    return linear(merge_heads(out), p["o"]), ring_k, ring_v
+
+
 def cross_attention_step(p: Params, x_q, k_cache, v_cache, *, n_heads: int, kv_mask=None):
     """Single-query cross-attention against precomputed encoder K/V.
 

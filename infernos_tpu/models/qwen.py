@@ -254,6 +254,91 @@ def decode_step(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
     return logits, cache
 
 
+def init_ring(cfg: QwenConfig, batch: int, k_steps: int, dtype):
+    """Per-dispatch K/V ring for :func:`decode_step_ring`:
+    ``[L, B, Hkv, K, Dh]`` zeros (pair)."""
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, k_steps, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def decode_step_ring(params, cfg: QwenConfig, tokens, cache: QwenCache,
+                     ring_k, ring_v, pos0, pos, step_i):
+    """One decode step writing K/V to the dispatch ring, not the cache.
+
+    Same rationale as ``whisper.decode_step_ring``: the per-slot cache
+    scatter forces a full-cache copy every scan iteration; the ring write
+    is a uniform-index in-place update, merged once per dispatch via
+    :func:`merge_ring`.  The big cache is loop-invariant during the
+    enclosing scan.  ``pos0`` [B]: positions at dispatch entry.
+    Returns (logits [B, V], ring_k, ring_v).
+    """
+    B = tokens.shape[0]
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rep = H // Hkv
+    x = params["embed"]["w"][tokens][:, None, :]  # [B, 1, D]
+    cos, sin = _rope_tables(cfg, pos[:, None])  # [B, 1, Dh]
+    Tmax = cache.k.shape[3]
+    K = ring_k.shape[3]
+    valid = jnp.arange(Tmax)[None, None, None, :] < pos0[:, None, None, None]
+    rvalid = (jnp.arange(K) < step_i)[None, None, None, :]
+
+    def body(x, layer):
+        lp, k_l, v_l, rk_l, rv_l = layer
+        h_in = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q = L.linear(h_in, lp["q"]).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        k = L.linear(h_in, lp["k"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = L.linear(h_in, lp["v"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)  # [B, Hkv, 1, Dh]
+        rk_l = jax.lax.dynamic_update_slice_in_dim(rk_l, k, step_i, axis=2)
+        rv_l = jax.lax.dynamic_update_slice_in_dim(rv_l, v, step_i, axis=2)
+        kx = jnp.repeat(k_l, rep, axis=1)   # [B, H, Tmax, Dh]
+        vx = jnp.repeat(v_l, rep, axis=1)
+        rkx = jnp.repeat(rk_l, rep, axis=1)  # [B, H, K, Dh]
+        rvx = jnp.repeat(rv_l, rep, axis=1)
+        kq = jnp.repeat(k, rep, axis=1)      # [B, H, 1, Dh] current column
+        vq = jnp.repeat(v, rep, axis=1)
+        scale = Dh**-0.5
+        big = jnp.where(valid, jnp.einsum("bhqd,bhkd->bhqk", q, kx) * scale,
+                        L.NEG_INF)
+        ring = jnp.where(rvalid,
+                         jnp.einsum("bhqd,bhkd->bhqk", q, rkx) * scale,
+                         L.NEG_INF)
+        cur = jnp.einsum("bhqd,bhkd->bhqk", q, kq) * scale  # [B,H,1,1]
+        logits = jnp.concatenate([big, ring, cur], axis=-1)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = (jnp.einsum("bhqk,bhkd->bhqd", w[..., :Tmax], vx)
+               + jnp.einsum("bhqk,bhkd->bhqd", w[..., Tmax:Tmax + K], rvx)
+               + w[..., Tmax + K:] * vq)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        x = x + L.linear(out, lp["o"])
+        x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
+        return x, (rk_l, rv_l)
+
+    x, (rks, rvs) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v, ring_k, ring_v))
+    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)[:, 0]
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.einsum("bd,vd->bv", x, params["embed"]["w"])
+    else:
+        logits = jnp.einsum("bd,dv->bv", x, head["w"])
+    return logits, rks, rvs
+
+
+def merge_ring(cache: QwenCache, ring_k, ring_v, tpos) -> QwenCache:
+    """Scatter a dispatch's ring columns into the cache once (tpos [B, K];
+    entries >= Tmax dropped -- see ``whisper.merge_ring``)."""
+    Lyr, B, Hkv, K, Dh = ring_k.shape
+    b = jnp.arange(B)[:, None]
+
+    def m(c, r):
+        return c.at[:, b, :, tpos, :].set(
+            jnp.transpose(r, (1, 3, 0, 2, 4)), mode="drop")
+
+    return QwenCache(m(cache.k, ring_k), m(cache.v, ring_v))
+
+
 def verify_steps(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
     """K-token speculative-verify pass: tokens [B, K], pos [B].
 

@@ -286,6 +286,78 @@ def decode_step(params, cfg: WhisperConfig, tokens, cache: WhisperCache, pos,
     return logits, cache._replace(self_k=sk, self_v=sv)
 
 
+def init_ring(cfg: WhisperConfig, batch: int, k_steps: int, dtype=jnp.float32):
+    """Per-dispatch K/V ring for :func:`decode_step_ring`:
+    ``([L, B, H, K, Dh], [L, B, H, K, Dh])`` zeros."""
+    shape = (cfg.decoder_layers, batch, cfg.decoder_attention_heads,
+             k_steps, cfg.d_model // cfg.decoder_attention_heads)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
+                     ring_k, ring_v, pos0, pos, step_i,
+                     enc_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step that writes K/V to the dispatch ring, not the cache.
+
+    The engine's K-step dispatch scans this with (ring_k, ring_v) in the
+    carry and the big cache LOOP-INVARIANT, then merges once via
+    :func:`merge_ring` -- avoiding the full-cache scatter copy
+    ``decode_step`` pays every scan iteration (see
+    ``layers.attention_step_ring``).  ``pos0``: per-slot position at
+    dispatch entry; ``pos``: current per-slot position (embedding index);
+    ``step_i``: scalar dispatch-internal step.
+    Returns (logits ``[B, V]``, ring_k, ring_v).
+    """
+    H = cfg.decoder_attention_heads
+    x = params["tok_embed"]["w"][tokens][:, None, :] + \
+        params["dec_pos"]["w"][pos][:, None, :]
+
+    def body(x, layer):
+        lp, k_l, v_l, ck_l, cv_l, rk_l, rv_l = layer
+        h, rk_l, rv_l = L.attention_step_ring(
+            lp["self_attn"], L.layer_norm(x, lp["ln1"]), n_heads=H,
+            k_cache=k_l, v_cache=v_l, ring_k=rk_l, ring_v=rv_l,
+            pos0=pos0, step_i=step_i,
+        )
+        x = x + h
+        h = L.cross_attention_step(
+            lp["cross_attn"], L.layer_norm(x, lp["ln2"]),
+            dequantize_kv(ck_l, x.dtype), dequantize_kv(cv_l, x.dtype),
+            n_heads=H, kv_mask=enc_mask,
+        )
+        x = x + h
+        h = L.layer_norm(x, lp["ln3"])
+        h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False), lp["fc2"])
+        return x + h, (rk_l, rv_l)
+
+    x, (rk, rv) = jax.lax.scan(
+        body, x, (params["dec_layers"], cache.self_k, cache.self_v,
+                  cache.cross_k, cache.cross_v, ring_k, ring_v))
+    x = L.layer_norm(x, params["dec_ln"])[:, 0]
+    logits = jnp.einsum("bd,vd->bv", x, params["tok_embed"]["w"])
+    return logits, rk, rv
+
+
+def merge_ring(cache: WhisperCache, ring_k, ring_v, tpos) -> WhisperCache:
+    """Scatter a dispatch's ring columns into the big cache ONCE.
+
+    ``tpos`` ``[B, K]`` int32: target time index per (slot, dispatch step);
+    entries >= Tmax (the done-slot sentinel) are dropped.  One scatter per
+    K steps replaces K per-step full-cache copies.
+    """
+    Lyr, B, H, K, Dh = ring_k.shape
+    b = jnp.arange(B)[:, None]  # [B, 1] broadcasts against tpos [B, K]
+
+    def m(c, r):
+        # c: [L,B,H,T,Dh]; advanced indices (b, tpos) land at axes 1 and 3
+        # -> batch dims move to front: update value layout [B,K,L,H,Dh]
+        return c.at[:, b, :, tpos, :].set(
+            jnp.transpose(r, (1, 3, 0, 2, 4)), mode="drop")
+
+    return cache._replace(self_k=m(cache.self_k, ring_k),
+                          self_v=m(cache.self_v, ring_v))
+
+
 def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, prompt_len, *,
                 beam_size: int, max_new: int, eos_id: int,
                 suppress_mask=None, begin_suppress_mask=None,

@@ -100,8 +100,19 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     # outputs
     xout_ref,              # VMEM [B, D] f32
     selfk_out, selfv_out,  # ANY (aliased with selfk_ref/selfv_ref)
-    # scratch
+    # scratch (grid-level: persists across grid steps -- the weight
+    # buffers double-buffer ACROSS phases: layer l's FFN weights stream
+    # during l's attention compute, layer l+1's attention weights stream
+    # during l's FFN compute, so no phase starts with a cold weight wait
+    # except layer 0's prologue)
     x_scr,                 # VMEM [B, D] f32 (carried hidden)
+    wqkv,                  # VMEM [D, 3D] bf16 (self q|k|v, resident layer l)
+    wo,                    # VMEM [H, Dh, D] bf16
+    wcq,                   # VMEM [D, D] bf16
+    wco,                   # VMEM [H, Dh, D] bf16
+    w1b,                   # VMEM [D, F] bf16
+    w2b,                   # VMEM [F, D] bf16
+    wsems,                 # DMA sems: 0-3 attn weights, 4-5 ffn weights
     *,
     n_heads: int,
     chunk: int,
@@ -120,9 +131,23 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     # NOTE: the 1/sqrt(Dh) attention scale is folded into the packed q
     # weights/biases at pack time (pack_qkv / pack_smalls row BCQ).
 
+    def _attn_wdmas(li):
+        return [pltpu.make_async_copy(ref.at[li], buf, wsems.at[i])
+                for i, (ref, buf) in enumerate((
+                    (sqkvw_ref, wqkv), (sow_ref, wo),
+                    (cqw_ref, wcq), (cow_ref, wco)))]
+
+    def _ffn_wdmas(li):
+        return [pltpu.make_async_copy(w1_ref.at[li], w1b, wsems.at[4]),
+                pltpu.make_async_copy(w2_ref.at[li], w2b, wsems.at[5])]
+
     @pl.when(l == 0)
     def _():
         x_scr[:] = x0_ref[:]
+        # prologue: layer 0's attention weights have no prior phase to
+        # hide behind; every later layer's were prefetched in l-1's FFN
+        for d in _attn_wdmas(0):
+            d.start()
 
     sm = smalls_ref[l]   # [10, D] f32
     (BSO, BCO, B2, LN1G, LN1B, LN2G, LN2B, LN3G, LN3B, BCQ) = range(10)
@@ -147,7 +172,7 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
             preferred_element_type=jnp.float32)
 
     # ---------------- phase A: self-attention + cross-attention -------------
-    def attn_phase(wqkv, wo, wcq, wco, kcb0, kcb1, vcb0, vcb1,
+    def attn_phase(kcb0, kcb1, vcb0, vcb1,
                    ckb0, ckb1, cvb0, cvb1, rmwk, rmwv, qs, ks, vs,
                    acc, mrow, drow, sems):
         # Matmul-count discipline (the first hardware A/B showed per-head
@@ -158,11 +183,8 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         # dot_general each.  K/V streaming is ALL-HEAD and double-buffered:
         # one [B, H, Dh, chunk] DMA per chunk per cache with the next
         # chunk's DMA in flight during compute.
-        wdmas = [pltpu.make_async_copy(ref.at[l], buf, sems.at[i])
-                 for i, (ref, buf) in enumerate((
-                     (sqkvw_ref, wqkv), (sow_ref, wo),
-                     (cqw_ref, wcq), (cow_ref, wco)))]
-        for d in wdmas:
+        # this layer's FFN weights stream during the attention compute
+        for d in _ffn_wdmas(l):
             d.start()
         # in-kernel cache write, step 1: start the per-slot chunk reads for
         # the read-modify-write NOW (they only need pos) so they overlap
@@ -175,14 +197,16 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
             cidx = spos_ref[1 + b] // chunk
             kd = pltpu.make_async_copy(
                 selfk_ref.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
-                rmwk.at[b], sems.at[10])
+                rmwk.at[b], sems.at[4])
             vd = pltpu.make_async_copy(
                 selfv_ref.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
-                rmwv.at[b], sems.at[11])
+                rmwv.at[b], sems.at[5])
             kd.start()
             vd.start()
             rmw_reads += [kd, vd]
-        for d in wdmas:
+        # attention weights were prefetched (prologue for l=0, l-1's FFN
+        # phase otherwise); reconstructing the copy just addresses its sem
+        for d in _attn_wdmas(l):
             d.wait()
         x = x_scr[:]
         maxpos = spos_ref[0]
@@ -200,10 +224,10 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         def self_dma(c, wait=False):
             kd = pltpu.make_async_copy(
                 selfk_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
-                kbufs[c % 2], sems.at[6 + c % 2])
+                kbufs[c % 2], sems.at[0 + c % 2])
             vd = pltpu.make_async_copy(
                 selfv_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
-                vbufs[c % 2], sems.at[8 + c % 2])
+                vbufs[c % 2], sems.at[2 + c % 2])
             if wait:
                 kd.wait()
                 vd.wait()
@@ -279,11 +303,11 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
             kd = pltpu.make_async_copy(
                 rmwk.at[b],
                 selfk_out.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
-                sems.at[10])
+                sems.at[4])
             vd = pltpu.make_async_copy(
                 rmwv.at[b],
                 selfv_out.at[l, b, :, :, pl.ds(cidx * chunk, chunk)],
-                sems.at[11])
+                sems.at[5])
             kd.start()
             vd.start()
             rmw_writes += [kd, vd]
@@ -302,10 +326,10 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         def cross_dma(c, wait=False):
             kd = pltpu.make_async_copy(
                 crossk_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
-                cbufs[c % 2], sems.at[6 + c % 2])
+                cbufs[c % 2], sems.at[0 + c % 2])
             vd = pltpu.make_async_copy(
                 crossv_ref.at[l, :, :, :, pl.ds(c * chunk, chunk)],
-                cvbufs[c % 2], sems.at[8 + c % 2])
+                cvbufs[c % 2], sems.at[2 + c % 2])
             if wait:
                 kd.wait()
                 vd.wait()
@@ -353,10 +377,6 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
 
     pl.run_scoped(
         attn_phase,
-        wqkv=pltpu.VMEM((D, 3 * D), jnp.bfloat16),
-        wo=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
-        wcq=pltpu.VMEM((D, D), jnp.bfloat16),
-        wco=pltpu.VMEM((n_heads, D // n_heads, D), jnp.bfloat16),
         kcb0=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
         kcb1=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
         vcb0=pltpu.VMEM((B, n_heads, D // n_heads, chunk), self_dtype),
@@ -373,29 +393,26 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         acc=pltpu.VMEM((n_heads, B, D // n_heads), jnp.float32),
         mrow=pltpu.VMEM((n_heads, B, 1), jnp.float32),
         drow=pltpu.VMEM((n_heads, B, 1), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((12,)),
+        sems=pltpu.SemaphoreType.DMA((6,)),
     )
 
     # ---------------- phase B: FFN ------------------------------------------
-    def ffn_phase(w1b, w2b, sems):
-        d1 = pltpu.make_async_copy(w1_ref.at[l], w1b, sems.at[0])
-        d2 = pltpu.make_async_copy(w2_ref.at[l], w2b, sems.at[1])
-        d1.start()
-        d2.start()
-        x = x_scr[:]
-        d1.wait()
-        hmid = matmul(x, w1b) + b1_ref[l][None, :]
-        hmid = _gelu_exact(hmid)
-        d2.wait()
-        h = matmul(hmid, w2b) + sm[B2][None, :]
-        x_scr[:] = ln(x + h, LN3G, LN3B)
+    # w1/w2 were prefetched at the top of this layer's attention phase;
+    # l+1's attention weights start streaming here, hidden behind the FFN
+    # matmuls and the next layer's rmw/projection work
+    for d in _ffn_wdmas(l):
+        d.wait()
 
-    pl.run_scoped(
-        ffn_phase,
-        w1b=pltpu.VMEM((D, F), jnp.bfloat16),
-        w2b=pltpu.VMEM((F, D), jnp.bfloat16),
-        sems=pltpu.SemaphoreType.DMA((2,)),
-    )
+    @pl.when(l + 1 < pl.num_programs(0))
+    def _():
+        for d in _attn_wdmas(l + 1):
+            d.start()
+
+    x = x_scr[:]
+    hmid = matmul(x, w1b) + b1_ref[l][None, :]
+    hmid = _gelu_exact(hmid)
+    h = matmul(hmid, w2b) + sm[B2][None, :]
+    x_scr[:] = ln(x + h, LN3G, LN3B)
 
     @pl.when(l == pl.num_programs(0) - 1)
     def _():
@@ -602,7 +619,19 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
             pl.BlockSpec(memory_space=pl.ANY),    # selfk (aliased)
             pl.BlockSpec(memory_space=pl.ANY),    # selfv (aliased)
         ),
-        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),              # x_scr
+            # grid-level weight buffers: prefetched across phases (layer
+            # l's FFN weights during l's attention, l+1's attention
+            # weights during l's FFN) -- see _layer_kernel docnotes
+            pltpu.VMEM((D, 3 * D), fw.wqkv.dtype),        # wqkv
+            pltpu.VMEM((H, Dh, D), fw.sow.dtype),         # wo
+            pltpu.VMEM((D, D), fw.cqw.dtype),             # wcq
+            pltpu.VMEM((H, Dh, D), fw.cow.dtype),         # wco
+            pltpu.VMEM((D, int(fw.w1.shape[2])), fw.w1.dtype),  # w1b
+            pltpu.VMEM((int(fw.w1.shape[2]), D), fw.w2.dtype),  # w2b
+            pltpu.SemaphoreType.DMA((6,)),                # wsems
+        ],
     )
 
     xout, selfk_new, selfv_new = pl.pallas_call(

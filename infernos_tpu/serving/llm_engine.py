@@ -184,22 +184,33 @@ class LLMEngine:
     def _step(self, params, cache, pos, cur_tok, done):
         """K greedy steps in one dispatch; returns per-step tokens [B, K]."""
         eos = jnp.asarray(sorted(self.eos_ids), jnp.int32)
+        K = self.ecfg.steps_per_dispatch
+        Tmax = cache.k.shape[3]
+        pos0 = pos
+        ring_k, ring_v = qwen.init_ring(self.cfg, pos.shape[0], K,
+                                        cache.k.dtype)
 
-        def one(carry, _):
-            cache, pos, cur_tok, done = carry
-            logits, cache = qwen.decode_step(params, self.cfg, cur_tok, cache, pos)
+        def one(carry, step_i):
+            ring_k, ring_v, pos, cur_tok, done = carry
+            # big cache loop-invariant; new K/V go to the ring (uniform
+            # index -> in-place) and merge once after the scan, avoiding
+            # the per-step full-cache scatter copy (qwen.decode_step_ring)
+            logits, ring_k, ring_v = qwen.decode_step_ring(
+                params, self.cfg, cur_tok, cache, ring_k, ring_v, pos0,
+                pos, step_i)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # freeze a slot in-device once it emits EOS inside this window
             # (host-side finish still owns slot lifecycle)
             is_eos = jnp.any(nxt[:, None] == eos[None, :], axis=-1)
             new_done = jnp.logical_or(done, is_eos)
+            wpos = jnp.where(done, Tmax, pos)  # done-at-entry: drop column
             pos = jnp.where(done, pos, pos + 1)
             cur_tok = jnp.where(new_done, cur_tok, nxt)
-            return (cache, pos, cur_tok, new_done), nxt
+            return (ring_k, ring_v, pos, cur_tok, new_done), (nxt, wpos)
 
-        (cache, pos, cur_tok, _), nxts = jax.lax.scan(
-            one, (cache, pos, cur_tok, done), None,
-            length=self.ecfg.steps_per_dispatch)
+        (ring_k, ring_v, pos, cur_tok, _), (nxts, wposs) = jax.lax.scan(
+            one, (ring_k, ring_v, pos, cur_tok, done), jnp.arange(K))
+        cache = qwen.merge_ring(cache, ring_k, ring_v, wposs.T)
         return cache, pos, cur_tok, nxts.T
 
     def _verify(self, params, cache, pos, cur_tok, done, draft):

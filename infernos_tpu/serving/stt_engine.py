@@ -324,11 +324,21 @@ class STTEngine:
         sup = self._suppress_ids()
         sup_arr = jnp.asarray(sup) if sup else None
         base_key = jax.random.PRNGKey(seed)
+        K = self.ecfg.steps_per_dispatch
+        Tmax = cache.self_k.shape[3]
+        pos0 = pos  # per-slot position at dispatch entry (ring mask base)
+        ring_k, ring_v = wsp.init_ring(self.cfg, pos.shape[0], K,
+                                       cache.self_k.dtype)
 
         def one(carry, step_i):
-            cache, pos, cur_tok, done, logp = carry
-            logits, cache = wsp.decode_step(params, self.cfg, cur_tok, cache,
-                                            pos, enc_mask=enc_mask)
+            ring_k, ring_v, pos, cur_tok, done, logp = carry
+            # the big cache stays LOOP-INVARIANT: new K/V go to the ring
+            # (uniform index -> in-place), merged once after the scan --
+            # the per-step scatter alternative copies the whole cache
+            # every iteration (~16% of step time at B=32 large-v3)
+            logits, ring_k, ring_v = wsp.decode_step_ring(
+                params, self.cfg, cur_tok, cache, ring_k, ring_v, pos0,
+                pos, step_i, enc_mask=enc_mask)
             if sup_arr is not None:
                 logits = logits.at[:, sup_arr].set(L.NEG_INF)
             lf = logits.astype(jnp.float32)
@@ -343,15 +353,20 @@ class STTEngine:
             lse = jax.nn.logsumexp(lf, axis=-1)
             chosen = jnp.take_along_axis(lf, nxt[:, None], axis=-1)[:, 0] - lse
             logp = jnp.where(done, logp, logp + chosen)
+            # done-at-entry slots decode idempotent garbage; drop their
+            # ring column at merge time via the out-of-range sentinel
+            wpos = jnp.where(done, Tmax, pos)
             is_eos = nxt == self.cfg.eos_token_id
             new_done = jnp.logical_or(done, is_eos)
             pos = jnp.where(done, pos, pos + 1)
             cur_tok = jnp.where(new_done, cur_tok, nxt)
-            return (cache, pos, cur_tok, new_done, logp), (nxt, new_done)
+            return (ring_k, ring_v, pos, cur_tok, new_done, logp), \
+                (nxt, new_done, wpos)
 
-        (cache, pos, cur_tok, done, logp), (nxts, dones) = jax.lax.scan(
-            one, (cache, pos, cur_tok, done, logp),
-            jnp.arange(self.ecfg.steps_per_dispatch))
+        (ring_k, ring_v, pos, cur_tok, done, logp), (nxts, dones, wposs) = \
+            jax.lax.scan(one, (ring_k, ring_v, pos, cur_tok, done, logp),
+                         jnp.arange(K))
+        cache = wsp.merge_ring(cache, ring_k, ring_v, wposs.T)
         return cache, pos, cur_tok, done, logp, nxts.T, dones.T
 
     # -- public API -----------------------------------------------------------

@@ -13,6 +13,21 @@ from .logging import get_logger
 log = get_logger("utils.platform")
 
 
+def model_start_timeout() -> float:
+    """Per-model-actor start timeout (seconds).
+
+    A full-dims engine start pays the XLA compile wall on a cold cache
+    (three fused-kernel chunk variants + prefill/join/vocoder programs can
+    exceed 20 min on first compile); with a warm persistent cache it
+    replays in seconds.  The default must cover the cold path -- a daemon
+    that times out mid-compile and aborts is strictly worse than a slow
+    first boot.  Override with ``INFERNOS_START_TIMEOUT``.
+    """
+    import os
+
+    return float(os.environ.get("INFERNOS_START_TIMEOUT", "3600"))
+
+
 def ensure_backend() -> str:
     """Initialize a usable JAX backend; returns its platform name."""
     import jax
