@@ -69,7 +69,7 @@ def _run(args, env_extra=None, timeout=3600, attempts=2, cooldown=120.0):
     return None, last_out
 
 
-def _device_preflight(attempts=4, probe_timeout=420, cooldown=120.0) -> bool:
+def _device_preflight(attempts=6, probe_timeout=420, cooldown=180.0) -> bool:
     """Bounded check that the accelerator grants a claim at all.
 
     The axon tunnel can refuse claims for stretches (observed 2026-08-17:
