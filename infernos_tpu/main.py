@@ -67,9 +67,17 @@ def build_cluster(iconf: InfernConfig, tiny: bool = False,
     # loads models but serves no calls is worse than a crash)
     sip_actr.ask_sync("ready_check", timeout=30)
     for key, h in app_actors.items():
+        prof = iconf.apps[key]
+        # the app start is a SEQUENCE of model-actor starts, each entitled
+        # to the full per-model budget on a cold compile cache: LT spawns
+        # one TTS per language + STT; AIA spawns TTS + STT + LLM
+        if isinstance(prof, LTProfileConf):
+            n_models = len(getattr(prof, "tts_langs", None) or ("en",)) + 1
+        else:
+            n_models = 3
         h.ask_sync("start", h, sip_actr, rtp_actr, stt_actr=stt_actr,
                    **(start_kwargs or {}),
-                   timeout=4 * model_start_timeout())
+                   timeout=(n_models + 1) * model_start_timeout())
     return handles
 
 

@@ -276,15 +276,15 @@ def attention_step_ring(
     ``attention_step``'s vmapped per-slot ``dynamic_update_slice`` lowers
     to a batch scatter, and XLA's copy-insertion materialises a FULL cache
     copy every scan iteration (measured ~1.2 GB/step extra at B=32
-    whisper-large dims, ~16%% of step time).  This variant writes the new
+    whisper-large dims, ~16% of step time).  This variant writes the new
     K/V column into a small per-dispatch ring at the UNIFORM index
     ``step_i`` -- a scalar-indexed update XLA does in place -- and the
     engine merges the ring into the big cache ONCE per K-step dispatch
     (``whisper.merge_ring``), amortising the scatter K-fold.
 
-    Attention reads: big-cache columns ``< pos0`` (the slot's position at
-    dispatch entry; this dispatch's earlier columns live in the ring),
-    ring columns ``< step_i``, and the current K/V directly.
+    Attention reads two banks: big-cache columns ``< pos0`` (the slot's
+    position at dispatch entry) and ring columns ``<= step_i`` (this
+    dispatch's earlier columns plus the just-written current one).
 
     x_q ``[B, 1, D]``; caches ``[B, H, Tmax, Dh]``; rings ``[B, H, K, Dh]``;
     ``pos0`` ``[B]`` int32; ``step_i`` scalar int32.
@@ -310,15 +310,31 @@ def attention_step_ring(
     big = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache)
     big = jnp.where(valid, big, NEG_INF)
     ring = jnp.einsum("bhqd,bhkd->bhqk", q, ring_k)
-    rvalid = (jnp.arange(K) < step_i)[None, None, None, :]
+    # <= step_i: ring[step_i] IS the current column (written above)
+    rvalid = (jnp.arange(K) <= step_i)[None, None, None, :]
     ring = jnp.where(rvalid, ring, NEG_INF)
-    cur = jnp.einsum("bhqd,bhd->bhq", q, k_new)[..., None]  # [B,H,1,1]
-    logits = jnp.concatenate([big, ring, cur], axis=-1)
+    logits = jnp.concatenate([big, ring], axis=-1)
     w = jax.nn.softmax(logits, axis=-1)
     out = (jnp.einsum("bhqk,bhkd->bhqd", w[..., :Tmax], v_cache)
-           + jnp.einsum("bhqk,bhkd->bhqd", w[..., Tmax:Tmax + K], ring_v)
-           + w[..., Tmax + K:] * v_new[:, :, None, :])
+           + jnp.einsum("bhqk,bhkd->bhqd", w[..., Tmax:], ring_v))
     return linear(merge_heads(out), p["o"]), ring_k, ring_v
+
+
+def merge_kv_ring(cache_arr, ring, tpos):
+    """Scatter one dispatch's ring columns into a big cache array ONCE.
+
+    ``cache_arr``: ``[L, B, H, T, Dh]``; ``ring``: ``[L, B, H, K, Dh]``;
+    ``tpos``: ``[B, K]`` int32 target time index per (slot, dispatch step),
+    entries ``>= T`` (the done-slot sentinel) dropped.  Shared by the
+    whisper and qwen ``merge_ring`` wrappers -- one scatter per K-step
+    dispatch replaces K per-step full-cache copies.
+    """
+    B = ring.shape[1]
+    b = jnp.arange(B)[:, None]  # [B, 1] broadcasts against tpos [B, K]
+    # advanced indices (b, tpos) land at axes 1 and 3 -> batch dims move
+    # to front: update value layout [B, K, L, H, Dh]
+    return cache_arr.at[:, b, :, tpos, :].set(
+        jnp.transpose(ring, (1, 3, 0, 2, 4)), mode="drop")
 
 
 def cross_attention_step(p: Params, x_q, k_cache, v_cache, *, n_heads: int, kv_mask=None):

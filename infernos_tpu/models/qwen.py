@@ -280,7 +280,8 @@ def decode_step_ring(params, cfg: QwenConfig, tokens, cache: QwenCache,
     Tmax = cache.k.shape[3]
     K = ring_k.shape[3]
     valid = jnp.arange(Tmax)[None, None, None, :] < pos0[:, None, None, None]
-    rvalid = (jnp.arange(K) < step_i)[None, None, None, :]
+    # <= step_i: ring[step_i] is the current column (written in the body)
+    rvalid = (jnp.arange(K) <= step_i)[None, None, None, :]
 
     def body(x, layer):
         lp, k_l, v_l, rk_l, rv_l = layer
@@ -296,20 +297,16 @@ def decode_step_ring(params, cfg: QwenConfig, tokens, cache: QwenCache,
         vx = jnp.repeat(v_l, rep, axis=1)
         rkx = jnp.repeat(rk_l, rep, axis=1)  # [B, H, K, Dh]
         rvx = jnp.repeat(rv_l, rep, axis=1)
-        kq = jnp.repeat(k, rep, axis=1)      # [B, H, 1, Dh] current column
-        vq = jnp.repeat(v, rep, axis=1)
         scale = Dh**-0.5
         big = jnp.where(valid, jnp.einsum("bhqd,bhkd->bhqk", q, kx) * scale,
                         L.NEG_INF)
         ring = jnp.where(rvalid,
                          jnp.einsum("bhqd,bhkd->bhqk", q, rkx) * scale,
                          L.NEG_INF)
-        cur = jnp.einsum("bhqd,bhkd->bhqk", q, kq) * scale  # [B,H,1,1]
-        logits = jnp.concatenate([big, ring, cur], axis=-1)
+        logits = jnp.concatenate([big, ring], axis=-1)
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = (jnp.einsum("bhqk,bhkd->bhqd", w[..., :Tmax], vx)
-               + jnp.einsum("bhqk,bhkd->bhqd", w[..., Tmax:Tmax + K], rvx)
-               + w[..., Tmax + K:] * vq)
+               + jnp.einsum("bhqk,bhkd->bhqd", w[..., Tmax:], rvx))
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
         x = x + L.linear(out, lp["o"])
         x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
@@ -328,15 +325,9 @@ def decode_step_ring(params, cfg: QwenConfig, tokens, cache: QwenCache,
 
 def merge_ring(cache: QwenCache, ring_k, ring_v, tpos) -> QwenCache:
     """Scatter a dispatch's ring columns into the cache once (tpos [B, K];
-    entries >= Tmax dropped -- see ``whisper.merge_ring``)."""
-    Lyr, B, Hkv, K, Dh = ring_k.shape
-    b = jnp.arange(B)[:, None]
-
-    def m(c, r):
-        return c.at[:, b, :, tpos, :].set(
-            jnp.transpose(r, (1, 3, 0, 2, 4)), mode="drop")
-
-    return QwenCache(m(cache.k, ring_k), m(cache.v, ring_v))
+    entries >= Tmax dropped -- see ``layers.merge_kv_ring``)."""
+    return QwenCache(L.merge_kv_ring(cache.k, ring_k, tpos),
+                     L.merge_kv_ring(cache.v, ring_v, tpos))
 
 
 def verify_steps(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):

@@ -342,20 +342,12 @@ def merge_ring(cache: WhisperCache, ring_k, ring_v, tpos) -> WhisperCache:
     """Scatter a dispatch's ring columns into the big cache ONCE.
 
     ``tpos`` ``[B, K]`` int32: target time index per (slot, dispatch step);
-    entries >= Tmax (the done-slot sentinel) are dropped.  One scatter per
-    K steps replaces K per-step full-cache copies.
+    entries >= Tmax (the done-slot sentinel) are dropped (see
+    ``layers.merge_kv_ring``).
     """
-    Lyr, B, H, K, Dh = ring_k.shape
-    b = jnp.arange(B)[:, None]  # [B, 1] broadcasts against tpos [B, K]
-
-    def m(c, r):
-        # c: [L,B,H,T,Dh]; advanced indices (b, tpos) land at axes 1 and 3
-        # -> batch dims move to front: update value layout [B,K,L,H,Dh]
-        return c.at[:, b, :, tpos, :].set(
-            jnp.transpose(r, (1, 3, 0, 2, 4)), mode="drop")
-
-    return cache._replace(self_k=m(cache.self_k, ring_k),
-                          self_v=m(cache.self_v, ring_v))
+    return cache._replace(
+        self_k=L.merge_kv_ring(cache.self_k, ring_k, tpos),
+        self_v=L.merge_kv_ring(cache.self_v, ring_v, tpos))
 
 
 def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, prompt_len, *,
