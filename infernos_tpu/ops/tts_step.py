@@ -95,6 +95,12 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     smalls_ref,            # VMEM [L, 10, D] f32 (D-wide biases + LN params)
     bqkv_ref,              # VMEM [L, 3D] f32 packed self q|k|v bias (q scaled)
     b1_ref,                # VMEM [L, F] f32
+    sqkvs_ref,             # VMEM [L, 3D] f32 int8 scales ([L, 1] in bf16 mode)
+    sos_ref,               # VMEM [L, D] f32 | [L, 1]
+    cqs_ref,               # VMEM [L, D] f32 | [L, 1]
+    cos_ref,               # VMEM [L, D] f32 | [L, 1]
+    w1s_ref,               # VMEM [L, F] f32 | [L, 1]
+    w2s_ref,               # VMEM [L, D] f32 | [L, 1]
     selfk_ref, selfv_ref,  # ANY [L, B, H, Dh, Tpad] (time-minor; ALIASED out)
     crossk_ref, crossv_ref,  # ANY [L, B, H, Dh, Spad] (time-minor)
     # outputs
@@ -119,6 +125,7 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     eps: float,
     self_dtype,
     cross_dtype,
+    int8w: bool = False,
 ):
     l = pl.program_id(0)
     B, D = x_scr.shape
@@ -161,13 +168,15 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
     def matmul_t(x, w_ref_vmem):
         """x [B, D] x w [Dh, D] -> [B, Dh] (contract on minor D)."""
         return jax.lax.dot_general(
-            x.astype(jnp.bfloat16), w_ref_vmem[:],
+            x.astype(jnp.bfloat16), w_ref_vmem[:].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     def matmul(x, w_ref_vmem):
+        # int8 mode: the cast is exact (|code| <= 127) and the channel
+        # scale is applied to the [B, out] RESULT by the caller
         return jax.lax.dot_general(
-            x.astype(jnp.bfloat16), w_ref_vmem[:],
+            x.astype(jnp.bfloat16), w_ref_vmem[:].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -213,7 +222,10 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         posv = pos_ref[:]  # [B, 1] int32
 
         # packed projections -> per-head [H, B, Dh] scratch
-        y = matmul(x, wqkv) + bqkv_ref[l][None, :]  # [B, 3D] f32
+        y = matmul(x, wqkv)
+        if int8w:
+            y = y * sqkvs_ref[l][None, :]
+        y = y + bqkv_ref[l][None, :]  # [B, 3D] f32
         for h in range(H):
             qs[h] = y[:, h * Dh:(h + 1) * Dh]
             ks[h] = y[:, D + h * Dh: D + (h + 1) * Dh]
@@ -314,10 +326,13 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
 
         # one batched output projection: [H,B,Dh] x [H,Dh,D] -> sum_H [B,D]
         oh = jax.lax.dot_general(
-            acc[:].astype(jnp.bfloat16), wo[:],
+            acc[:].astype(jnp.bfloat16), wo[:].astype(jnp.bfloat16),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        h_attn = jnp.sum(oh, axis=0) + sm[BSO][None, :]
+        h_attn = jnp.sum(oh, axis=0)
+        if int8w:  # per-output-channel scale commutes with the head sum
+            h_attn = h_attn * sos_ref[l][None, :]
+        h_attn = h_attn + sm[BSO][None, :]
         x = ln(x + h_attn, LN1G, LN1B)
 
         # ---- cross attention (all-head double-buffered streaming too) ----
@@ -338,7 +353,10 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
                 vd.start()
 
         n_cchunks = S // chunk
-        yc = matmul(x, wcq) + sm[BCQ][None, :]  # [B, D] (pre-scaled)
+        yc = matmul(x, wcq)
+        if int8w:
+            yc = yc * cqs_ref[l][None, :]
+        yc = yc + sm[BCQ][None, :]  # [B, D] (pre-scaled)
         for h in range(H):
             qs[h] = yc[:, h * Dh:(h + 1) * Dh]
         mrow[:] = jnp.full((H, B, 1), NEG_INF, jnp.float32)
@@ -367,10 +385,13 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
         for h in range(H):
             acc[h] = acc[h] / jnp.maximum(drow[h], 1e-20)
         oh = jax.lax.dot_general(
-            acc[:].astype(jnp.bfloat16), wco[:],
+            acc[:].astype(jnp.bfloat16), wco[:].astype(jnp.bfloat16),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        h_cross = jnp.sum(oh, axis=0) + sm[BCO][None, :]
+        h_cross = jnp.sum(oh, axis=0)
+        if int8w:
+            h_cross = h_cross * cos_ref[l][None, :]
+        h_cross = h_cross + sm[BCO][None, :]
         x_scr[:] = ln(x + h_cross, LN2G, LN2B)
         for d in rmw_writes:
             d.wait()
@@ -409,10 +430,14 @@ def _layer_kernel(  # noqa: C901 (one kernel = one layer, intentionally big)
             d.start()
 
     x = x_scr[:]
-    hmid = matmul(x, w1b) + b1_ref[l][None, :]
-    hmid = _gelu_exact(hmid)
-    h = matmul(hmid, w2b) + sm[B2][None, :]
-    x_scr[:] = ln(x + h, LN3G, LN3B)
+    hmid = matmul(x, w1b)
+    if int8w:
+        hmid = hmid * w1s_ref[l][None, :]
+    hmid = _gelu_exact(hmid + b1_ref[l][None, :])
+    h = matmul(hmid, w2b)
+    if int8w:
+        h = h * w2s_ref[l][None, :]
+    x_scr[:] = ln(x + h + sm[B2][None, :], LN3G, LN3B)
 
     @pl.when(l == pl.num_programs(0) - 1)
     def _():
@@ -497,27 +522,83 @@ class FusedWeights(NamedTuple):
     boundary: packing inside the per-step function puts ~25 MB of
     concat/transpose/cast into every ``lax.scan`` iteration, and XLA does
     NOT hoist it out of the while-loop (measured: the whole fused-kernel
-    advantage disappeared into an 80 ms/16-step packing floor)."""
+    advantage disappeared into an 80 ms/16-step packing floor).
 
-    wqkv: jnp.ndarray    # [L, D, 3D] bf16, q third pre-scaled
-    sow: jnp.ndarray     # [L, H, Dh, D] bf16
-    cqw: jnp.ndarray     # [L, D, D] bf16, pre-scaled
-    cow: jnp.ndarray     # [L, H, Dh, D] bf16
-    w1: jnp.ndarray      # [L, D, F] bf16
-    w2: jnp.ndarray      # [L, F, D] bf16
+    Int8 mode (``models.quant``-quantized decoders): the big matrices are
+    int8 and the ``*_s`` fields carry the per-output-channel f32 scales.
+    Every matmul in the kernel can POST-scale its [B, out] result (the
+    scale depends only on the output channel, and the per-head output
+    projections sum over heads before any channel mixing), so the kernel
+    streams HALF the weight bytes and never materialises a dequantized
+    matrix -- the int8 operand is cast to bf16 on the way into the MXU
+    (int8 values are exact in bf16).  In bf16 mode the ``*_s`` fields are
+    [L, 1] placeholders and the kernel skips the multiplies."""
+
+    wqkv: jnp.ndarray    # [L, D, 3D] bf16 (q third pre-scaled) | int8
+    sow: jnp.ndarray     # [L, H, Dh, D] bf16 | int8
+    cqw: jnp.ndarray     # [L, D, D] bf16 (pre-scaled) | int8
+    cow: jnp.ndarray     # [L, H, Dh, D] bf16 | int8
+    w1: jnp.ndarray      # [L, D, F] bf16 | int8
+    w2: jnp.ndarray      # [L, F, D] bf16 | int8
     smalls: jnp.ndarray  # [L, 10, D] f32
-    bqkv: jnp.ndarray    # [L, 3D] f32
+    bqkv: jnp.ndarray    # [L, 3D] f32 (q third pre-scaled)
     b1: jnp.ndarray      # [L, F] f32
+    sqkv_s: jnp.ndarray  # [L, 3D] f32 int8 scales (q third pre-scaled) | [L, 1]
+    so_s: jnp.ndarray    # [L, D] f32 | [L, 1]
+    cq_s: jnp.ndarray    # [L, D] f32 (pre-scaled) | [L, 1]
+    co_s: jnp.ndarray    # [L, D] f32 | [L, 1]
+    w1_s: jnp.ndarray    # [L, F] f32 | [L, 1]
+    w2_s: jnp.ndarray    # [L, D] f32 | [L, 1]
+
+
+def pack_qkv_int8(dec_layers, n_heads: int):
+    """Packed int8 self q|k|v: ([L, D, 3D] int8, [L, 3D] f32 scales,
+    [L, 3D] f32 bias) with the attention scale folded into the q third of
+    the SCALES and bias (int8 codes stay untouched)."""
+    sa = dec_layers["self_attn"]
+    L, D = sa["q"]["b"].shape
+    scale = (D // n_heads) ** -0.5
+    w = jnp.concatenate([sa["q"]["w_q"], sa["k"]["w_q"], sa["v"]["w_q"]],
+                        axis=2)
+    s = jnp.concatenate([sa["q"]["scale"] * scale, sa["k"]["scale"],
+                         sa["v"]["scale"]], axis=1).astype(jnp.float32)
+    b = jnp.concatenate([sa["q"]["b"] * scale, sa["k"]["b"], sa["v"]["b"]],
+                        axis=1).astype(jnp.float32)
+    return w, s, b
 
 
 def pack_fused_weights(params, cfg, wdt=jnp.bfloat16) -> FusedWeights:
-    """Pack decoder params for :func:`fused_decode_step` (do this once)."""
+    """Pack decoder params for :func:`fused_decode_step` (do this once).
+
+    Detects ``models.quant``-quantized decoder layers (``w_q``/``scale``
+    leaves) and emits the int8 layout automatically."""
     dl = params["dec_layers"]
     H = cfg.decoder_attention_heads
     sa, ca = dl["self_attn"], dl["cross_attn"]
     D = sa["q"]["b"].shape[1]
     scale = (D // H) ** -0.5
+    if "w_q" in sa["q"]:  # int8-quantized decoder
+        wqkv, sqkv_s, bqkv = pack_qkv_int8(dl, H)
+        return FusedWeights(
+            wqkv=wqkv,
+            sow=_heads_o(sa["o"]["w_q"], H),
+            cqw=ca["q"]["w_q"],
+            cow=_heads_o(ca["o"]["w_q"], H),
+            w1=dl["ffn"]["in"]["w_q"],
+            w2=dl["ffn"]["out"]["w_q"],
+            smalls=pack_smalls(dl, H),
+            bqkv=bqkv,
+            b1=dl["ffn"]["in"]["b"].astype(jnp.float32),
+            sqkv_s=sqkv_s,
+            so_s=sa["o"]["scale"].astype(jnp.float32),
+            cq_s=(ca["q"]["scale"] * scale).astype(jnp.float32),
+            co_s=ca["o"]["scale"].astype(jnp.float32),
+            w1_s=dl["ffn"]["in"]["scale"].astype(jnp.float32),
+            w2_s=dl["ffn"]["out"]["scale"].astype(jnp.float32),
+        )
     wqkv, bqkv = pack_qkv(dl, H, wdt)
+    L = wqkv.shape[0]
+    dummy = jnp.ones((L, 1), jnp.float32)
     return FusedWeights(
         wqkv=wqkv,
         sow=_heads_o(sa["o"]["w"].astype(wdt), H),
@@ -528,6 +609,8 @@ def pack_fused_weights(params, cfg, wdt=jnp.bfloat16) -> FusedWeights:
         smalls=pack_smalls(dl, H),
         bqkv=bqkv,
         b1=dl["ffn"]["in"]["b"].astype(jnp.float32),
+        sqkv_s=dummy, so_s=dummy, cq_s=dummy, co_s=dummy,
+        w1_s=dummy, w2_s=dummy,
     )
 
 
@@ -592,7 +675,8 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
     kernel = functools.partial(_layer_kernel, n_heads=H, chunk=chunk,
                                eps=cfg.layer_norm_eps,
                                self_dtype=cache.self_k.dtype,
-                               cross_dtype=cache.cross_k.dtype)
+                               cross_dtype=cache.cross_k.dtype,
+                               int8w=fw.wqkv.dtype == jnp.int8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Lyr,),
@@ -609,6 +693,12 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # smalls
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bqkv
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sqkv_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # so_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cq_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # co_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2_s
             pl.BlockSpec(memory_space=pl.ANY),    # selfk
             pl.BlockSpec(memory_space=pl.ANY),    # selfv
             pl.BlockSpec(memory_space=pl.ANY),    # crossk
@@ -647,7 +737,7 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
         # would force a full-cache copy every step (copy-insertion around
         # the custom call); flattened input indices include the scalar
         # prefetch operand
-        input_output_aliases={13: 1, 14: 2},
+        input_output_aliases={19: 1, 20: 2},
         # all-head double-buffered K/V streaming wants ~55 MB of scoped
         # VMEM at B=24 full dims -- above the 16 MB default, well under
         # the 128 MB physical VMEM (v5e/v6e)
@@ -657,6 +747,7 @@ def fused_decode_step(params, cfg, x, cache, pos, enc_mask=None, *,
     )(spos, x0, pos_in, encb,
       fw.wqkv, fw.sow, fw.cqw, fw.cow, fw.w1, fw.w2,
       fw.smalls, fw.bqkv, fw.b1,
+      fw.sqkv_s, fw.so_s, fw.cq_s, fw.co_s, fw.w1_s, fw.w2_s,
       cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
 
     cache = cache._replace(self_k=selfk_new, self_v=selfv_new)

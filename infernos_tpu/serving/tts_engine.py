@@ -271,8 +271,9 @@ class TTSEngine:
     # -- decode ---------------------------------------------------------------
 
     def _use_fused_step(self) -> bool:
-        if "w" not in self.params["dec_layers"]["self_attn"]["q"]:
-            return False  # int8-quantized decoder: kernel is bf16-dense only
+        q = self.params["dec_layers"]["self_attn"]["q"]
+        if "w" not in q and "w_q" not in q:
+            return False  # decoder layout the kernel doesn't know
         if self.ecfg.fused_step is not None:
             return self.ecfg.fused_step
         # default ON on TPU: the packed-QKV kernel with in-kernel cache

@@ -148,3 +148,27 @@ def test_fused_step_bf16_cache_parity():
     np.testing.assert_allclose(np.asarray(cache_fus.self_k, np.float32),
                                np.asarray(cache_ref.self_k, np.float32),
                                rtol=6e-2, atol=6e-2)
+
+
+def test_fused_step_int8_matches_quantized_oracle():
+    """Int8-weight mode: fused kernel vs the XLA oracle running the SAME
+    quantized params (``layers.linear`` consumes quantized dicts, so the
+    oracle computes (x @ w_q) * scale -- the kernel must match it, not the
+    dense model)."""
+    from infernos_tpu.models import quant
+
+    params, cache, x, _, enc_mask = _setup(seed=11)
+    qparams = dict(params)
+    qparams["dec_layers"] = quant.quantize_params(params["dec_layers"],
+                                                  min_size=0)
+    pos = jnp.asarray([0, 3, 7, 12], jnp.int32)
+    h_ref, cache_ref = st5.decode_step(qparams, CFG, x, cache, pos,
+                                       enc_mask=enc_mask)
+    h_fus, cache_fus = fused_decode_step(qparams, CFG, x, cache, pos,
+                                         enc_mask=enc_mask, chunk=8,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(h_fus), np.asarray(h_ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cache_fus.self_k),
+                               np.asarray(cache_ref.self_k),
+                               rtol=2e-2, atol=2e-2)
