@@ -27,6 +27,16 @@ class LTActor(Actor):
     def __init__(self, profile, tiny: bool = True, translator_backend=None):
         self.profile = profile
         self.tiny = tiny
+        if translator_backend is None:
+            import os as _os
+
+            if _os.environ.get("INFERNOS_MODEL_MODE") == "tiny-real":
+                # trained tiny-real pipeline: exact lexicon translation
+                # over the speechlang vocabulary (t2t/lexicon.py) -- real
+                # language change between the legs, checkable ground truth
+                from ...t2t.lexicon import LexiconBackend
+
+                translator_backend = LexiconBackend()
         self.translator_backend = translator_backend or EchoBackend()
         self.sessions: Dict[uuid_mod.UUID, LTSession] = {}
         self.thumbstones: List[uuid_mod.UUID] = []

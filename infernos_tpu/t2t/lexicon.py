@@ -1,0 +1,79 @@
+"""Deterministic lexicon translation backend for the speechlang corpus.
+
+The reference translates with downloaded argos models
+(``Core/T2T/Translator.py:19-56``) -- unfetchable under zero egress.  For
+the in-repo-trained tiny-real pipeline the honest equivalent is exact by
+construction: speechlang (``tools/speechlang.py``) is a synthetic spoken
+language over a closed telephony vocabulary, so its "Portuguese" is a
+word-for-word relabeling.  This backend makes the tiny-real LiveTranslator
+path do REAL translation -- STT text in one language, TTS speech in the
+other -- with a ground truth the loopback/e2e benches can check exactly.
+
+Every target word is lowercase ASCII (the letter-compositional tiny
+STT/TTS generalize to unseen letter sequences, but only over a-z) and the
+mapping is 1:1 invertible, so en->pt->en round-trips bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+# speechlang WORDS (tools/speechlang.py) -> ASCII-only Portuguese-like
+# counterparts.  1:1 and collision-free in both directions.
+EN_PT: Dict[str, str] = {
+    "zero": "zeru", "one": "um", "two": "dois", "three": "tres",
+    "four": "quatro", "five": "cinco", "six": "seis", "seven": "sete",
+    "eight": "oito", "nine": "nove",
+    "call": "chamar", "the": "o", "to": "para", "my": "meu",
+    "for": "por", "please": "favor", "yes": "sim", "no": "nao",
+    "hello": "ola", "thanks": "obrigado", "goodbye": "adeus",
+    "transfer": "transferir", "billing": "cobranca", "sales": "vendas",
+    "support": "suporte", "agent": "agente", "line": "linha",
+    "hold": "segurar", "wait": "esperar", "back": "voltar",
+    "account": "conta", "number": "numero", "order": "pedido",
+    "status": "estado", "open": "abrir", "close": "fechar",
+    "check": "verificar", "pay": "pagar", "card": "cartao",
+    "help": "ajuda", "now": "agora", "today": "hoje",
+    "monday": "segunda", "friday": "sexta", "morning": "manha",
+    "evening": "noite", "new": "novo", "old": "velho",
+    "can": "pode", "you": "voce", "me": "mim", "speak": "falar",
+    "with": "com", "from": "de", "name": "nome", "is": "eh",
+    "this": "isto", "that": "aquilo", "what": "que", "when": "quando",
+    "where": "onde", "need": "preciso", "want": "quero",
+    "have": "tenho", "will": "vou", "get": "obter",
+    "department": "departamento", "service": "servico", "team": "equipe",
+    "manager": "gerente", "office": "escritorio", "phone": "telefone",
+    "time": "tempo", "date": "data", "confirm": "confirmar",
+    "cancel": "cancelar", "repeat": "repetir",
+}
+# "zero" maps to "zeru": letters-only (the tiny models compose over a-z)
+# and no collision with the en word in the merged passthrough space.
+PT_EN: Dict[str, str] = {v: k for k, v in EN_PT.items()}
+assert len(PT_EN) == len(EN_PT), "EN_PT mapping must be collision-free"
+
+
+class LexiconBackend:
+    """Word-for-word en<->pt translation over the speechlang vocabulary.
+
+    Unknown words pass through untouched (same behavior as a translator
+    meeting out-of-vocabulary proper nouns).  Plugs into
+    ``t2t.translator.Translator`` like any backend.
+    """
+
+    def pairs(self) -> List[Tuple[str, str]]:
+        return [("en", "pt"), ("pt", "en")]
+
+    def translate(self, text: str, src: str, dst: str) -> str:
+        if (src, dst) == ("en", "pt"):
+            table = EN_PT
+        elif (src, dst) == ("pt", "en"):
+            table = PT_EN
+        else:
+            raise ValueError(f"unsupported pair {src}->{dst}")
+        out = []
+        for raw in text.split():
+            # keep trailing punctuation attached to the word it followed
+            word = raw.rstrip(".,!?;:")
+            tail = raw[len(word):]
+            out.append(table.get(word.lower(), word) + tail)
+        return " ".join(out)

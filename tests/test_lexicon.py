@@ -1,0 +1,58 @@
+"""Lexicon translation backend: the tiny-real LiveTranslator's real
+language change (reference translates via argos models,
+``Core/T2T/Translator.py:19-56``; speechlang's closed vocabulary makes a
+word-for-word lexicon the exact offline equivalent)."""
+
+import re
+
+from infernos_tpu.t2t.lexicon import EN_PT, PT_EN, LexiconBackend
+from infernos_tpu.t2t.translator import Translator
+
+
+def test_mapping_covers_speechlang_vocab():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.speechlang import EN_WORDS, WORDS
+
+    missing = [w for w in EN_WORDS if w not in EN_PT]
+    assert not missing, f"speechlang words without a translation: {missing}"
+    # bilingual corpus: the pt counterparts are in the training vocabulary
+    assert set(EN_PT.values()) <= set(WORDS)
+
+
+def test_mapping_is_invertible_and_ascii():
+    assert len(PT_EN) == len(EN_PT)
+    for w in list(EN_PT) + list(EN_PT.values()):
+        assert re.fullmatch(r"[a-z]+", w), w
+    # no pt word shadows an en word (passthrough space stays unambiguous)
+    assert not set(EN_PT) & set(EN_PT.values())
+
+
+def test_round_trip_exact():
+    b = LexiconBackend()
+    text = "please transfer my call to billing now"
+    pt = b.translate(text, "en", "pt")
+    assert pt != text
+    assert b.translate(pt, "pt", "en") == text
+
+
+def test_unknown_words_pass_through_and_punctuation_sticks():
+    b = LexiconBackend()
+    assert b.translate("hello bob!", "en", "pt") == "ola bob!"
+
+
+def test_translator_chain_uses_backend():
+    tr = Translator("en", "pt", backend=LexiconBackend())
+    assert tr.translate("yes please") == "sim favor"
+
+
+def test_lt_actor_defaults_to_lexicon_in_tiny_real(monkeypatch):
+    monkeypatch.setenv("INFERNOS_MODEL_MODE", "tiny-real")
+    from infernos_tpu.apps.live_translator.actor import LTActor
+
+    class Prof:
+        name = "t"
+        tts_langs = ["pt", "en"]
+
+    actor = LTActor(Prof(), tiny=True)
+    assert type(actor.translator_backend).__name__ == "LexiconBackend"

@@ -141,7 +141,7 @@ def render_text(rng: np.random.Generator, text: str,
 
 # -- corpus -------------------------------------------------------------------
 
-WORDS = (
+EN_WORDS = (
     "zero one two three four five six seven eight nine "
     "call the to my for please yes no hello thanks goodbye "
     "transfer billing sales support agent line hold wait back "
@@ -151,6 +151,23 @@ WORDS = (
     "where need want have will get department service team "
     "manager office phone time date confirm cancel repeat"
 ).split()
+
+# Bilingual corpus: the LiveTranslator's pt leg speaks the lexicon
+# counterparts (infernos_tpu/t2t/lexicon.py), so STT/TTS training must
+# see BOTH vocabularies -- a seq2seq decoder trained on one closed
+# vocabulary snaps unseen words to trained ones (measured: 0% word
+# accuracy on pt-side words with the en-only round-3 checkpoint).
+def _pt_words():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from infernos_tpu.t2t.lexicon import EN_PT
+
+    return [EN_PT[w] for w in EN_WORDS if w in EN_PT and EN_PT[w] not in EN_WORDS]
+
+
+WORDS = EN_WORDS + _pt_words()
 
 
 def make_utterance(rng: np.random.Generator, n_words: Tuple[int, int] = (2, 6),
