@@ -121,10 +121,12 @@ def main(argv: List[str]) -> int:
             f.write(str(os.getpid()))
 
     from .utils.compile_cache import enable as enable_compile_cache
-    from .utils.platform import ensure_backend
+    from .utils.platform import ensure_backend_or_degrade
 
     cache_dir = enable_compile_cache()  # warm daemon restarts skip recompiles
-    platform = ensure_backend()
+    # bounded probe first: a dead remote-device service hangs jax.devices()
+    # forever; degraded-on-CPU beats a daemon that never finishes booting
+    platform = ensure_backend_or_degrade()
     log.info("compute platform: %s (compile cache %s)", platform, cache_dir)
     iconf = InfernConfig(args[0])
     build_cluster(iconf, tiny=tiny)

@@ -40,3 +40,55 @@ def ensure_backend() -> str:
                     str(e).split("\n")[0])
         jax.config.update("jax_platforms", "cpu")
         return jax.devices()[0].platform
+
+
+def probe_backend_bounded(timeout_s: float = 90.0) -> bool:
+    """True iff the configured accelerator grants a device claim within
+    ``timeout_s``, probed in a THROWAWAY subprocess.
+
+    Remote-attached backends can hang ``jax.devices()`` FOREVER when the
+    device service is down (observed 2026-08-17: ~hours where the claim
+    blocked server-side with no error), and a hung backend init cannot be
+    recovered in-process.  Probe before the first in-process device touch;
+    on failure the daemon can drop to CPU (degraded-but-up, the analogue
+    of the reference's xpu->cuda->cpu chains at actor init,
+    ``Cluster/InfernSTTActor.py:24-31``) instead of hanging boot.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print('BACKEND_OK', (jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0])")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return "BACKEND_OK" in proc.stdout
+
+
+def ensure_backend_or_degrade(probe_timeout_s: float = 90.0) -> str:
+    """Boot-time backend selection with a bounded probe.
+
+    CPU-configured processes skip the probe (nothing to hang).  When the
+    accelerator probe fails and ``INFERNOS_REQUIRE_ACCEL`` is set, raise
+    (operators who prefer crash-and-restart over degraded service); else
+    force the CPU backend and serve degraded.  Returns the platform name.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
+        return ensure_backend()
+    if probe_backend_bounded(probe_timeout_s):
+        return ensure_backend()
+    if os.environ.get("INFERNOS_REQUIRE_ACCEL"):
+        raise RuntimeError(
+            "accelerator probe failed (device claim not granted within "
+            f"{probe_timeout_s}s) and INFERNOS_REQUIRE_ACCEL is set")
+    log.error("accelerator probe failed (claim not granted in %.0fs); "
+              "serving DEGRADED on the CPU backend", probe_timeout_s)
+    jax.config.update("jax_platforms", "cpu")
+    return ensure_backend()

@@ -66,3 +66,21 @@ def test_wrk_thread_lifecycle():
     assert len(ticks) == n  # actually stopped
     # double stop is safe
     t.stop()
+
+
+def test_probe_backend_bounded_cpu():
+    from infernos_tpu.utils.platform import probe_backend_bounded
+
+    assert probe_backend_bounded(120.0)
+
+
+def test_ensure_backend_or_degrade_require_accel(monkeypatch):
+    from infernos_tpu.utils import platform as plat
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("INFERNOS_REQUIRE_ACCEL", "1")
+    monkeypatch.setattr(plat, "probe_backend_bounded", lambda t: False)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="INFERNOS_REQUIRE_ACCEL"):
+        plat.ensure_backend_or_degrade(1.0)
