@@ -167,3 +167,74 @@ def test_qwen_ring_matches_per_step():
                                        rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(v_r[:, b, :, t], v_o[:, b, :, t],
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_whisper_ring_fuzz_random_patterns():
+    """Random pos/done patterns across several dispatches: ring path must
+    track the scatter oracle's pos/tokens exactly (logits checked on live
+    slots) -- guards the sentinel/mask algebra beyond the hand-picked
+    cases."""
+    params, cache = _rand_whisper()
+    rng = np.random.default_rng(42)
+    enc_mask = jnp.ones((B, S), bool)
+    pos = jnp.asarray(rng.integers(0, TMAX - 2 * K, size=B), jnp.int32)
+    tok = jnp.asarray(rng.integers(5, 90, size=B), jnp.int32)
+    done = jnp.asarray(rng.random(B) < 0.3)
+
+    c_ref, c_r = cache, cache
+    p_ref = p_r = pos
+    t_ref = t_r = tok
+    d_ref = d_r = done
+    for dispatch in range(3):
+        entry_done = []
+        ref_lgs = []
+        for _ in range(K):
+            entry_done.append(np.asarray(d_ref))
+            lg, c_ref = wsp.decode_step(params, W_TINY, t_ref, c_ref, p_ref,
+                                        enc_mask=enc_mask)
+            ref_lgs.append(np.asarray(lg))
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            nd = jnp.logical_or(d_ref, nxt == W_TINY.eos_token_id)
+            p_ref = jnp.where(d_ref, p_ref, p_ref + 1)
+            t_ref = jnp.where(nd, t_ref, nxt)
+            d_ref = nd
+
+        ring_k, ring_v = wsp.init_ring(W_TINY, B, K)
+        pos0 = p_r
+
+        def one(carry, step_i, _cache=c_r):
+            ring_k, ring_v, p, t, d = carry
+            lg, ring_k, ring_v = wsp.decode_step_ring(
+                params, W_TINY, t, _cache, ring_k, ring_v, pos0, p, step_i,
+                enc_mask=enc_mask)
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            nd = jnp.logical_or(d, nxt == W_TINY.eos_token_id)
+            wpos = jnp.where(d, TMAX, p)
+            p = jnp.where(d, p, p + 1)
+            t = jnp.where(nd, t, nxt)
+            return (ring_k, ring_v, p, t, nd), (lg, wpos)
+
+        (ring_k, ring_v, p_r, t_r, d_r), (lgs, wposs) = jax.lax.scan(
+            one, (ring_k, ring_v, p_r, t_r, d_r), jnp.arange(K))
+        c_r = wsp.merge_ring(c_r, ring_k, ring_v, wposs.T)
+
+        for i in range(K):
+            live = ~entry_done[i]
+            np.testing.assert_allclose(np.asarray(lgs[i])[live],
+                                       ref_lgs[i][live],
+                                       rtol=5e-5, atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(p_r), np.asarray(p_ref))
+        np.testing.assert_array_equal(np.asarray(t_r), np.asarray(t_ref))
+        np.testing.assert_array_equal(np.asarray(d_r), np.asarray(d_ref))
+        # simulate engine churn between dispatches: finished slots rejoin
+        freed = np.asarray(d_r)
+        if freed.any():
+            newpos = rng.integers(0, TMAX - 2 * K, size=B).astype(np.int32)
+            newtok = rng.integers(5, 90, size=B).astype(np.int32)
+            sel = jnp.asarray(freed)
+            p_ref = p_r = jnp.where(sel, jnp.asarray(newpos), p_r)
+            t_ref = t_r = jnp.where(sel, jnp.asarray(newtok), t_r)
+            d_ref = d_r = jnp.zeros((B,), bool)
+            # oracle and ring caches must agree where it matters: reset
+            # both to the ring cache so drift in dead columns can't leak
+            c_ref = c_r
