@@ -40,7 +40,8 @@ from infernos_tpu.models.npz_io import load_params, save_params
 from tools.speechlang import SR, make_utterance, transcript_corpus
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(HERE, "infernos_tpu", "models", "data", "tiny_stt")
+OUT = os.environ.get("INFERNOS_TRAIN_OUT") or \
+    os.path.join(HERE, "infernos_tpu", "models", "data", "tiny_stt")
 
 N_MELS = 80
 MAX_SECONDS = 5.0

@@ -46,7 +46,8 @@ from infernos_tpu.models.spm import (SentencePieceModel, save_spm_model,
 from tools.speechlang import SR, Speaker, render_text, transcript_corpus
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(HERE, "infernos_tpu", "models", "data", "tiny_tts")
+OUT = os.environ.get("INFERNOS_TRAIN_OUT") or \
+    os.path.join(HERE, "infernos_tpu", "models", "data", "tiny_tts")
 
 N_MELS = 80
 N_FFT = 1024
