@@ -22,7 +22,7 @@ from typing import Dict, List, Tuple
 # counterparts.  1:1 and collision-free in both directions.
 EN_PT: Dict[str, str] = {
     "zero": "zeru", "one": "um", "two": "dois", "three": "tres",
-    "four": "quatro", "five": "cinco", "six": "seis", "seven": "sete",
+    "four": "kuatro", "five": "cinco", "six": "seis", "seven": "sete",
     "eight": "oito", "nine": "nove",
     "call": "chamar", "the": "o", "to": "para", "my": "meu",
     "for": "por", "please": "favor", "yes": "sim", "no": "nao",
@@ -33,21 +33,23 @@ EN_PT: Dict[str, str] = {
     "account": "conta", "number": "numero", "order": "pedido",
     "status": "estado", "open": "abrir", "close": "fechar",
     "check": "verificar", "pay": "pagar", "card": "cartao",
-    "help": "ajuda", "now": "agora", "today": "hoje",
+    "help": "aiuda", "now": "agora", "today": "hoie",
     "monday": "segunda", "friday": "sexta", "morning": "manha",
     "evening": "noite", "new": "novo", "old": "velho",
     "can": "pode", "you": "voce", "me": "mim", "speak": "falar",
     "with": "com", "from": "de", "name": "nome", "is": "eh",
-    "this": "isto", "that": "aquilo", "what": "que", "when": "quando",
-    "where": "onde", "need": "preciso", "want": "quero",
+    "this": "isto", "that": "akilo", "what": "ke", "when": "kuando",
+    "where": "onde", "need": "preciso", "want": "kero",
     "have": "tenho", "will": "vou", "get": "obter",
-    "department": "departamento", "service": "servico", "team": "equipe",
+    "department": "departamento", "service": "servico", "team": "ekipe",
     "manager": "gerente", "office": "escritorio", "phone": "telefone",
     "time": "tempo", "date": "data", "confirm": "confirmar",
     "cancel": "cancelar", "repeat": "repetir",
 }
-# "zero" maps to "zeru": letters-only (the tiny models compose over a-z)
-# and no collision with the en word in the merged passthrough space.
+# "zero" maps to "zeru" (letters-only, no collision with the en word); the
+# q/j-carrying Portuguese forms use k/i respellings (kuatro, aiuda, ...):
+# the tiny TTS renders only letters present in its training corpus, and
+# the en-only corpus contains no q or j.
 PT_EN: Dict[str, str] = {v: k for k, v in EN_PT.items()}
 assert len(PT_EN) == len(EN_PT), "EN_PT mapping must be collision-free"
 
