@@ -137,9 +137,12 @@ def main() -> None:
     stt = STTEngine(sparams, scfg, secfg, detokenize=stok.detokenize)
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
-    from tools.speechlang import transcript_corpus
+    from tools.speechlang import checkpoint_words, transcript_corpus
 
-    prompts = transcript_corpus(a.prompts, seed=555)
+    # sample the vocabulary the SERVING checkpoint was trained on (the
+    # trainers' WORDS went bilingual ahead of the bilingual checkpoints)
+    prompts = transcript_corpus(a.prompts, seed=555,
+                                words=checkpoint_words("tiny_stt"))
     qa = LoopbackQA(tts, stt, tokenize=ttok)
 
     class _Bank:

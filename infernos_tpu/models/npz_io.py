@@ -57,5 +57,14 @@ def load_params(path: str) -> Optional[Dict[str, Any]]:
 
 
 def data_path(name: str) -> str:
+    """Checkpoint-data dir for ``name`` (e.g. ``tiny_stt``).
+
+    ``INFERNOS_TINY_DATA_<NAME>`` overrides the committed location so
+    freshly trained scratch checkpoints can be evaluated (and gated)
+    WITHOUT overwriting the known-good tree copy first.
+    """
+    override = os.environ.get(f"INFERNOS_TINY_DATA_{name.upper()}")
+    if override:
+        return override
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "data", name)

@@ -58,24 +58,46 @@ class LexiconBackend:
     """Word-for-word en<->pt translation over the speechlang vocabulary.
 
     Unknown words pass through untouched (same behavior as a translator
-    meeting out-of-vocabulary proper nouns).  Plugs into
-    ``t2t.translator.Translator`` like any backend.
+    meeting out-of-vocabulary proper nouns); punctuation stays attached
+    and Title/UPPER casing is restored on the translated word.  Plugs
+    into ``t2t.translator.Translator`` like any backend.  ``fallback``
+    (default: echo any pair) handles language pairs outside the lexicon
+    -- without it, a profile configured for e.g. en<->es under tiny-real
+    mode would fail to build a translator chain and drop every call.
     """
 
+    def __init__(self, fallback=None):
+        if fallback is None:
+            from .translator import EchoBackend
+
+            fallback = EchoBackend()
+        self.fallback = fallback
+
     def pairs(self) -> List[Tuple[str, str]]:
-        return [("en", "pt"), ("pt", "en")]
+        own = [("en", "pt"), ("pt", "en")]
+        if self.fallback is not None:
+            extra = [p for p in self.fallback.pairs() if p not in own]
+            return own + extra
+        return own
 
     def translate(self, text: str, src: str, dst: str) -> str:
         if (src, dst) == ("en", "pt"):
             table = EN_PT
         elif (src, dst) == ("pt", "en"):
             table = PT_EN
+        elif self.fallback is not None:
+            return self.fallback.translate(text, src, dst)
         else:
             raise ValueError(f"unsupported pair {src}->{dst}")
         out = []
         for raw in text.split():
-            # keep trailing punctuation attached to the word it followed
-            word = raw.rstrip(".,!?;:")
-            tail = raw[len(word):]
-            out.append(table.get(word.lower(), word) + tail)
+            word = raw.strip(".,!?;:()\"'")
+            i = raw.find(word) if word else 0
+            head, tail = raw[:i], raw[i + len(word):]
+            tr = table.get(word.lower(), word)
+            if word.isupper() and len(word) > 1:
+                tr = tr.upper()
+            elif word[:1].isupper():
+                tr = tr[:1].upper() + tr[1:]
+            out.append(head + tr + tail)
         return " ".join(out)

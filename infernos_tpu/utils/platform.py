@@ -83,7 +83,24 @@ def ensure_backend_or_degrade(probe_timeout_s: float = 90.0) -> str:
     if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
         return ensure_backend()
     if probe_backend_bounded(probe_timeout_s):
-        return ensure_backend()
+        # the probe's subprocess held a claim moments ago; backends with a
+        # claim cooldown (axon: ~90 s between process claims) can refuse
+        # the immediate in-process re-claim -- retry through the cooldown
+        # rather than silently degrading a HEALTHY accelerator to CPU
+        import time
+
+        import jax
+
+        retry_s = float(os.environ.get("INFERNOS_CLAIM_RETRY_S", "95"))
+        for attempt in range(3):
+            try:
+                return jax.devices()[0].platform
+            except RuntimeError as e:
+                log.warning("in-process claim attempt %d failed (%s); "
+                            "retrying in %.0fs", attempt + 1,
+                            str(e).split("\n")[0], retry_s)
+                time.sleep(retry_s)
+        # fall through to the degrade/require decision below
     if os.environ.get("INFERNOS_REQUIRE_ACCEL"):
         raise RuntimeError(
             "accelerator probe failed (device claim not granted within "

@@ -56,3 +56,14 @@ def test_lt_actor_defaults_to_lexicon_in_tiny_real(monkeypatch):
 
     actor = LTActor(Prof(), tiny=True)
     assert type(actor.translator_backend).__name__ == "LexiconBackend"
+
+
+def test_case_restoration_and_fallback_pairs():
+    b = LexiconBackend()
+    assert b.translate("Hello please", "en", "pt") == "Ola favor"
+    assert b.translate("HELLO", "en", "pt") == "OLA"
+    assert b.translate("Ola favor", "pt", "en") == "Hello please"
+    # pairs outside the lexicon fall through to the echo backend instead
+    # of dropping the call
+    assert ("en", "es") in b.pairs()
+    assert b.translate("hello", "en", "es").endswith("hello")

@@ -177,7 +177,7 @@ def test_whisper_ring_fuzz_random_patterns():
     params, cache = _rand_whisper()
     rng = np.random.default_rng(42)
     enc_mask = jnp.ones((B, S), bool)
-    pos = jnp.asarray(rng.integers(0, TMAX - 2 * K, size=B), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, TMAX - 3 * K - 1, size=B), jnp.int32)
     tok = jnp.asarray(rng.integers(5, 90, size=B), jnp.int32)
     done = jnp.asarray(rng.random(B) < 0.3)
 
@@ -229,7 +229,7 @@ def test_whisper_ring_fuzz_random_patterns():
         # simulate engine churn between dispatches: finished slots rejoin
         freed = np.asarray(d_r)
         if freed.any():
-            newpos = rng.integers(0, TMAX - 2 * K, size=B).astype(np.int32)
+            newpos = rng.integers(0, TMAX - 3 * K - 1, size=B).astype(np.int32)
             newtok = rng.integers(5, 90, size=B).astype(np.int32)
             sel = jnp.asarray(freed)
             p_ref = p_r = jnp.where(sel, jnp.asarray(newpos), p_r)

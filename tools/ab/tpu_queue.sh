@@ -39,8 +39,19 @@ echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a /tmp/q_master.log
 
 # 7. retrain tiny STT/TTS on the bilingual (en+pt lexicon) corpus so the
 #    LT pt leg transcribes/renders real translated words (en-only ckpt
-#    measured 0% word acc on pt vocab)
-Q stt_train 10800 python tools/train_tiny_stt.py
-Q tts_train 9000 python tools/train_tiny_tts.py
+#    measured 0% word acc on pt vocab).  Train to SCRATCH dirs and gate
+#    with check_bilingual BEFORE touching the committed checkpoints.
+INFERNOS_TRAIN_OUT_STT=/tmp/bi_stt_hw \
+  Q stt_train 10800 python tools/train_tiny_stt.py
+INFERNOS_TRAIN_OUT_TTS=/tmp/bi_tts_hw \
+  Q tts_train 9000 python tools/train_tiny_tts.py
+if INFERNOS_TINY_DATA_TINY_STT=/tmp/bi_stt_hw \
+   INFERNOS_TINY_DATA_TINY_TTS=/tmp/bi_tts_hw \
+   Q bilingual 1800 python tools/check_bilingual.py; then
+  cp -r /tmp/bi_stt_hw/* /root/repo/infernos_tpu/models/data/tiny_stt/
+  cp -r /tmp/bi_tts_hw/* /root/repo/infernos_tpu/models/data/tiny_tts/
+  echo "BILINGUAL CHECKPOINTS PROMOTED" | tee -a /tmp/q_master.log
+else
+  echo "BILINGUAL GATE FAILED -- committed checkpoints untouched" | tee -a /tmp/q_master.log
+fi
 Q loopback 1800 python -m infernos_tpu.bench.loopback --speakers 4 --prompts 2
-Q bilingual 1800 python tools/check_bilingual.py

@@ -20,6 +20,7 @@ Rendered at 16 kHz (pipeline-native TTS rate); downsample to 8 k for RTP.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -171,19 +172,45 @@ WORDS = EN_WORDS + _pt_words()
 
 
 def make_utterance(rng: np.random.Generator, n_words: Tuple[int, int] = (2, 6),
-                   spk: Optional[Speaker] = None) -> Tuple[np.ndarray, str]:
+                   spk: Optional[Speaker] = None,
+                   words: Optional[List[str]] = None) -> Tuple[np.ndarray, str]:
     """Random utterance -> (16 kHz audio, transcript)."""
+    vocab = WORDS if words is None else words
     k = int(rng.integers(n_words[0], n_words[1] + 1))
-    words = [WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(k)]
-    text = " ".join(words)
+    picked = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(k)]
+    text = " ".join(picked)
     return render_text(rng, text, spk), text
 
 
-def transcript_corpus(n: int, seed: int = 0) -> List[str]:
+def transcript_corpus(n: int, seed: int = 0,
+                      words: Optional[List[str]] = None) -> List[str]:
+    vocab = WORDS if words is None else words
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(n):
         k = int(rng.integers(2, 7))
-        out.append(" ".join(WORDS[int(rng.integers(0, len(WORDS)))]
+        out.append(" ".join(vocab[int(rng.integers(0, len(vocab)))]
                             for _ in range(k)))
     return out
+
+
+def checkpoint_words(name: str = "tiny_stt") -> List[str]:
+    """Vocabulary a committed tiny-real checkpoint was TRAINED on.
+
+    Serving benches must sample from the serving model's corpus, not the
+    trainers' (WORDS went bilingual before any bilingual checkpoint
+    landed; drawing pt words against the en-only round-3 checkpoint
+    collapses half the bench corpus to garbage).  Trainers record
+    ``corpus.json`` next to the weights; absent one, the round-3
+    checkpoints mean EN_WORDS.
+    """
+    import json
+
+    from infernos_tpu.models.npz_io import data_path
+
+    path = os.path.join(data_path(name), "corpus.json")
+    try:
+        with open(path) as f:
+            return list(json.load(f)["words"])
+    except (OSError, KeyError, ValueError):
+        return list(EN_WORDS)

@@ -94,10 +94,11 @@ def policy(user: str) -> str:
     return "can you repeat that please"
 
 
-def _rand_utterance(rng: np.random.Generator) -> str:
+def _rand_utterance(rng: np.random.Generator, words=None) -> str:
     """User turns drawn from the same distribution the STT emits."""
+    vocab = WORDS if words is None else words
     k = int(rng.integers(1, 7))
-    return " ".join(WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(k))
+    return " ".join(vocab[int(rng.integers(0, len(vocab)))] for _ in range(k))
 
 
 def _intent_utterance(rng: np.random.Generator) -> str:

@@ -37,10 +37,11 @@ from infernos_tpu.audio.mel import log_mel_np
 from infernos_tpu.models import whisper as wsp
 from infernos_tpu.models.bpe import ByteLevelBPE, train_bpe
 from infernos_tpu.models.npz_io import load_params, save_params
-from tools.speechlang import SR, make_utterance, transcript_corpus
+from tools.speechlang import (SR, WORDS, make_utterance,
+                              transcript_corpus)
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("INFERNOS_TRAIN_OUT") or \
+OUT = os.environ.get("INFERNOS_TRAIN_OUT_STT") or \
     os.path.join(HERE, "infernos_tpu", "models", "data", "tiny_stt")
 
 N_MELS = 80
@@ -318,6 +319,8 @@ def main() -> None:
 
         def save(params):
             os.makedirs(os.path.join(OUT, "tokenizer"), exist_ok=True)
+            with open(os.path.join(OUT, "corpus.json"), "w") as f:
+                json.dump({"words": WORDS}, f)
             save_params(os.path.join(OUT, "params.npz"), params)
             with open(os.path.join(OUT, "config.json"), "w") as f:
                 json.dump({k: getattr(cfg, k)

@@ -43,10 +43,11 @@ from infernos_tpu.models import speecht5 as st5
 from infernos_tpu.models.npz_io import load_params, save_params
 from infernos_tpu.models.spm import (SentencePieceModel, save_spm_model,
                                      train_char_spm)
-from tools.speechlang import SR, Speaker, render_text, transcript_corpus
+from tools.speechlang import (SR, WORDS, Speaker, render_text,
+                              transcript_corpus)
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.environ.get("INFERNOS_TRAIN_OUT") or \
+OUT = os.environ.get("INFERNOS_TRAIN_OUT_TTS") or \
     os.path.join(HERE, "infernos_tpu", "models", "data", "tiny_tts")
 
 N_MELS = 80
@@ -383,6 +384,8 @@ def main() -> None:
     server = DataServer(tok, speakers, seed=a.seed + 1)
     os.makedirs(os.path.join(OUT, "tokenizer"), exist_ok=True)
     save_spm_model(tok, os.path.join(OUT, "tokenizer", "spiece.model"))
+    with open(os.path.join(OUT, "corpus.json"), "w") as f:
+        json.dump({"words": WORDS}, f)
 
     if a.part in ("t5", "all"):
         params, cfg = train_t5(a, tok, speakers, server)
