@@ -5,6 +5,8 @@ set -u
 cd /root/repo
 Q() {  # Q <label> <timeout_s> <cmd...>
   local label=$1 t=$2; shift 2
+  # yield the single tunnel claim to the round driver's own bench runs
+  while ps aux | grep -Eq "[b]ench\.py|[_]_graft_entry__"; do sleep 120; done
   echo "=== $label start $(date +%H:%M:%S) ===" | tee -a /tmp/q_master.log
   timeout "$t" "$@" > "/tmp/q_${label}.log" 2>&1
   local rc=$?
