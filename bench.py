@@ -69,7 +69,28 @@ def _run(args, env_extra=None, timeout=3600, attempts=2, cooldown=120.0):
     return None, last_out
 
 
-def _device_preflight(attempts=6, probe_timeout=420, cooldown=180.0) -> bool:
+def _relay_tcp_alive(timeout_s: float = 5.0) -> bool:
+    """Instant liveness check of the axon relay's TCP port.
+
+    When the relay process is DEAD (connection refused -- observed
+    2026-08-17, ~hours), device claims block forever server-side; there
+    is no point burning minutes of subprocess probes.  If the port is not
+    configured (no tunnel env), report alive and let the probe decide.
+    """
+    import socket
+
+    host = os.environ.get("PALLAS_AXON_POOL_IPS", "").split(",")[0].strip()
+    if not host:
+        return True
+    port = int(os.environ.get("PALLAS_AXON_RELAY_PORT", "8082"))
+    try:
+        with socket.create_connection((host, port), timeout=timeout_s):
+            return True
+    except OSError:
+        return False
+
+
+def _device_preflight(probe_timeout=300, cooldown=95.0) -> bool:
     """Bounded check that the accelerator grants a claim at all.
 
     The axon tunnel can refuse claims for stretches (observed 2026-08-17:
@@ -77,35 +98,63 @@ def _device_preflight(attempts=6, probe_timeout=420, cooldown=180.0) -> bool:
     this, every sub-bench burns its full subprocess timeout before the
     fallback JSON line appears -- hours of nothing.  Probe in a THROWAWAY
     subprocess (a failed claim poisons the process), retrying through
-    the ~90 s claim cooldown.
+    the ~90 s claim cooldown, but never past a total WALL-CLOCK budget
+    (``BENCH_PREFLIGHT_BUDGET_S``, default 600 s): round 3 lost its perf
+    number because an uncapped preflight (worst case 3420 s) outlived the
+    driver's own timeout.
     """
+    budget = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "600"))
+    deadline = time.monotonic() + budget
+    if not _relay_tcp_alive():
+        sys.stderr.write("preflight: relay TCP port is dead "
+                         "(connection refused); skipping claim probes\n")
+        return False
     code = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128));"
             "print('PREFLIGHT_OK', (x @ x)[0, 0])")
-    for attempt in range(attempts):
+    attempt = 0
+    while time.monotonic() < deadline:
         if attempt:
-            time.sleep(cooldown)
+            time.sleep(min(cooldown, max(0.0, deadline - time.monotonic())))
+            if time.monotonic() >= deadline:
+                break
+            if not _relay_tcp_alive():
+                sys.stderr.write("preflight: relay died mid-probe\n")
+                return False
+        attempt += 1
+        probe_t = min(probe_timeout, max(10.0, deadline - time.monotonic()))
         try:
             proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
                                   capture_output=True, text=True,
-                                  timeout=probe_timeout)
+                                  timeout=probe_t)
         except subprocess.TimeoutExpired:
-            sys.stderr.write(f"preflight attempt {attempt + 1}: claim "
-                             f"timed out after {probe_timeout}s\n")
+            sys.stderr.write(f"preflight attempt {attempt}: claim "
+                             f"timed out after {probe_t:.0f}s\n")
             continue
         if "PREFLIGHT_OK" in proc.stdout:
             return True
-        sys.stderr.write(f"preflight attempt {attempt + 1} failed:\n"
+        sys.stderr.write(f"preflight attempt {attempt} failed:\n"
                          + proc.stderr[-2000:] + "\n")
+    sys.stderr.write(f"preflight: wall-clock budget ({budget:.0f}s) spent\n")
     return False
 
 
-def main() -> None:
-    if not _device_preflight():
-        print(json.dumps({
-            "metric": "lt_calls_per_chip", "value": 0,
+def _fallback_result(error: str) -> dict:
+    return {"metric": "lt_calls_per_chip", "value": 0,
             "unit": "concurrent two-leg LT calls", "vs_baseline": 0.0,
-            "detail": {"error": "accelerator unreachable: device claim "
-                                "never granted during preflight"}}))
+            "detail": {"error": error}}
+
+
+def main() -> None:
+    # Print a parseable fallback line FIRST: the driver takes the LAST
+    # JSON line, so any real result below supersedes this -- but if the
+    # driver kills us mid-bench (rc=124), the round still records a
+    # parsed artifact instead of `parsed: null` (the round-3 failure).
+    print(json.dumps(_fallback_result(
+        "bench interrupted before any sub-bench completed")), flush=True)
+    if not _device_preflight():
+        print(json.dumps(_fallback_result(
+            "accelerator unreachable: device claim never granted during "
+            "preflight")), flush=True)
         return
     time.sleep(95.0)  # claim cooldown after the preflight subprocess
     # -- TTS paced-calls component bench --------------------------------------
@@ -154,7 +203,7 @@ def main() -> None:
     if loopback is not None:
         result.setdefault("detail", {})["loopback_similarity"] = {
             k: loopback.get(k) for k in ("value", "detail")}
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

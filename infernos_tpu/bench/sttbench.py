@@ -76,9 +76,11 @@ if __name__ == "__main__":
     import jax
 
     from ..models import presets, whisper as wsp
-    from ..utils.platform import ensure_backend
+    from ..utils.platform import ensure_backend_or_degrade
 
-    ensure_backend()
+    # bounded probe: a dead axon relay makes the first in-process device
+    # touch block FOREVER (round-3 outage); degrade to CPU instead of hanging
+    ensure_backend_or_degrade()
     tiny = "--full" not in sys.argv
     cfg = presets.WHISPER_TINY_TEST if tiny else presets.WHISPER_LARGE_V3
     params = wsp.init_params(jax.random.PRNGKey(0), cfg)

@@ -141,6 +141,19 @@ class Connection:
         self.last_rx = _time.monotonic()
         self._hb_interval = heartbeat_s
         self._dead_after = dead_after_s
+        # Mixed-version rolling upgrades: a peer running a pre-heartbeat
+        # protocol revision neither answers pings nor generates idle
+        # traffic, so rx-silence would tear every idle link down each
+        # dead_after_s.  INFERNOS_HB_LEGACY_GRACE=1 exempts peers that
+        # have never ponged from the rx-silence deadline (TCP write
+        # failure still kills the link); default OFF because it also
+        # exempts genuinely hung peers -- upgrade both hosts together,
+        # or set the grace only for the rollout window.
+        import os as _os
+
+        self._legacy_grace = _os.environ.get(
+            "INFERNOS_HB_LEGACY_GRACE", "") not in ("", "0")
+        self._pong_seen = False
         # dispatch runs OFF the reader thread: a slow handler (model spawn,
         # heavy callback) must not stall frame reads or ping replies, or the
         # heartbeat would declare a busy peer dead
@@ -233,10 +246,18 @@ class Connection:
 
         while not self.closed.wait(self._hb_interval):
             if _time.monotonic() - self.last_rx > self._dead_after:
-                log.warning("link %s: no traffic for %.1fs; declaring dead",
-                            self.name, self._dead_after)
-                self.close()
-                return
+                if self._legacy_grace and not self._pong_seen:
+                    # rollout window: a never-ponged peer may be a healthy
+                    # legacy revision; rely on TCP write failure instead
+                    log.info("link %s: idle %.1fs but peer has never "
+                             "ponged; legacy grace keeps the link up",
+                             self.name, self._dead_after)
+                else:
+                    log.warning("link %s: no traffic for %.1fs; "
+                                "declaring dead", self.name,
+                                self._dead_after)
+                    self.close()
+                    return
             self._send_quiet({"op": "ping"})
 
     def _recv_exact(self, n: int) -> Optional[bytes]:
@@ -272,7 +293,7 @@ class Connection:
             if op == "ping":  # liveness handled inline, never queued
                 self._send_quiet({"op": "pong"})
             elif op == "pong":
-                pass
+                self._pong_seen = True
             elif op == "result":
                 self._dispatch(msg)  # resolve futures promptly
             else:
@@ -326,6 +347,7 @@ class Connection:
             self._send_quiet({"op": "pong"})
             return
         if op == "pong":
+            self._pong_seen = True
             return  # last_rx already refreshed by the read loop
         if op == "call":
             h = lookup(msg["actor"])

@@ -67,6 +67,8 @@ def _load() -> Optional[ctypes.CDLL]:
                                  ctypes.c_uint8, u8p, ctypes.c_int, u8p]
     lib.rtp_next_pkt.restype = ctypes.c_int
     lib.rtp_skip.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.rtp_packetizer_ts.argtypes = [ctypes.c_void_p]
+    lib.rtp_packetizer_ts.restype = ctypes.c_uint32
     lib.jbuf_new.restype = ctypes.c_void_p
     lib.jbuf_new.argtypes = [ctypes.c_int]
     lib.jbuf_free.argtypes = [ctypes.c_void_p]
@@ -203,6 +205,12 @@ class NativePacketizer:
 
     def skip(self, npkts: int = 1) -> None:
         self._lib.rtp_skip(self._state, npkts)
+
+    @property
+    def ts(self) -> int:
+        """Media-clock timestamp; mirrors the Python packetizer's ``ts``
+        attribute so RTCP SR generation works on either implementation."""
+        return int(self._lib.rtp_packetizer_ts(self._state))
 
 
 # -- jitter buffer ---------------------------------------------------------------------

@@ -48,8 +48,10 @@ class RTPOutputWorker(WrkThread):
         """Current RTP media-clock timestamp (advances across idle skips);
         the correct third element of an RTCP SR, unlike byte counters which
         freeze during silence and are codec-rate dependent."""
-        rs = self._rsynth
-        return rs.ts if rs is not None else 0
+        # defensive getattr: the packetizer may be the Python RSynth or the
+        # C++ NativePacketizer; both expose .ts, but never let a missing
+        # attribute kill the (exception-swallowing) RTCP tick silently
+        return getattr(self._rsynth, "ts", 0)
 
     def set_datalog(self, path: str) -> None:
         """Record all egress audio to a WAV at teardown (reference optional

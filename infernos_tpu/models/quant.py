@@ -68,6 +68,35 @@ def quantize_params(params: Any, min_size: int = 4096,
     return walk(params, "")
 
 
+def quantize_shardings(specs: Any, qparams: Any) -> Any:
+    """Dense-layout ``PartitionSpec`` pytree -> one matching a
+    :func:`quantize_params` output.
+
+    ``qparams`` (arrays or ``ShapeDtypeStruct``s from ``eval_shape``) tells
+    which linears actually got quantized; for those, ``w_q`` keeps the dense
+    weight's spec and the per-out-channel ``scale`` keeps the spec's leading
+    (layer-stack) + last (out-channel) axes -- so a column-parallel weight's
+    scales shard with it and a row-parallel weight's scales replicate.
+    Needed to place int8 TP weights (the 14B-over-v5e-4 serving point,
+    reference ``Cluster/InfernLLMWorker.py:64-101``)."""
+    from jax.sharding import PartitionSpec as P
+
+    def walk(spec, node):
+        if isinstance(node, dict) and "w_q" in node:
+            wspec = spec["w"]
+            out = {"w_q": wspec, "scale": P(*wspec[:-2], wspec[-1])}
+            if "b" in node:
+                out["b"] = spec["b"]
+            return out
+        if isinstance(node, dict):
+            return {k: walk(spec[k], v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(spec[i], v) for i, v in enumerate(node)]
+        return spec
+
+    return walk(specs, qparams)
+
+
 def quantized_bytes(params: Any) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(params))

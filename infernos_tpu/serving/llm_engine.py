@@ -360,6 +360,16 @@ class LLMEngine:
                 return self.n_active > 0
             return False
         if self.ecfg.spec_decode:
+            # harvest the in-flight dispatch FIRST: drafts built from
+            # streamer tokens that lag the device by one dispatch never
+            # end at the device's actual cur_tok, so acceptance collapses
+            # to ~0 (ADVICE r3).  Spec mode trades the one-step pipeline
+            # overlap for drafts anchored at the true suffix.
+            if self._inflight is not None:
+                self._harvest(*self._inflight)
+                self._inflight = None
+                if self.n_active == 0:
+                    return False
             draft = np.zeros((self.ecfg.batch_slots, self.ecfg.spec_k - 1),
                              np.int32)
             for i, s in enumerate(self.slots):

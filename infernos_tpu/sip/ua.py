@@ -337,9 +337,16 @@ class UAS(_InDialogMixin):
             self._handle_update(msg, addr)
             return
         if msg.method == "PRACK":
-            # RAck: "<rseq> <cseq> <method>"
+            # RAck: "<rseq> <cseq> <method>"; a malformed (non-numeric)
+            # rseq must get a 400, not raise out of the dialog dispatch
+            # and leave the reliable-180 retransmitting (ADVICE r3)
             rack = (msg.get("rack") or "").split()
-            if rack and getattr(self, "_rel_pending", None) == int(rack[0]):
+            try:
+                rseq = int(rack[0]) if rack else None
+            except ValueError:
+                self.stack.send_response(msg, addr, 400, "Bad Request")
+                return
+            if rseq is not None and getattr(self, "_rel_pending", None) == rseq:
                 self._rel_pending = None  # stops the retransmit task
             self.stack.send_response(msg, addr, 200, "OK")
             return

@@ -397,6 +397,12 @@ void rtp_skip(void *state, uint32_t npkts) {
   p->marker_next = true;
 }
 
+// Current media-clock timestamp (advances across idle skips); feeds the
+// RTCP SR rtp_ts field on the Python side.
+uint32_t rtp_packetizer_ts(void *state) {
+  return ((RtpPacketizer *)state)->ts;
+}
+
 // ---------------------------------------------------------------------------
 // Jitter buffer (same contract as infernos_tpu/media/jitter.py)
 // ---------------------------------------------------------------------------

@@ -298,3 +298,24 @@ def test_heartbeat_detects_dead_peer():
         conn.close()
         peer.close()
         srv.close()
+
+
+def test_heartbeat_legacy_grace(monkeypatch):
+    """INFERNOS_HB_LEGACY_GRACE: a never-ponged (legacy-revision) peer is
+    NOT torn down on rx silence during a mixed-version rollout window."""
+    import socket as _socket
+
+    monkeypatch.setenv("INFERNOS_HB_LEGACY_GRACE", "1")
+    srv = _socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    cli = _socket.create_connection(srv.getsockname())
+    peer, _ = srv.accept()  # legacy peer: silent but TCP-alive
+    conn = remote.Connection(cli, name="legacy", heartbeat_s=0.2,
+                             dead_after_s=0.6)
+    try:
+        assert not conn.closed.wait(2.0), "legacy peer torn down under grace"
+    finally:
+        conn.close()
+        peer.close()
+        srv.close()

@@ -286,6 +286,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from OUT/params.npz (warm-restart "
+                         "schedule) instead of re-initializing -- lets a "
+                         "killed/half-schedule run keep its progress")
     ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args()
 
@@ -297,7 +301,13 @@ def main() -> None:
         params = load_params(os.path.join(OUT, "params.npz"))
         assert params is not None, f"no checkpoint at {OUT}"
     else:
-        params = wsp.init_params(jax.random.PRNGKey(a.seed), cfg)
+        params = None
+        if a.resume:
+            params = load_params(os.path.join(OUT, "params.npz"))
+            if params is not None:
+                print(f"resuming from {OUT}/params.npz", flush=True)
+        if params is None:
+            params = wsp.init_params(jax.random.PRNGKey(a.seed), cfg)
         warm = min(300, max(1, a.steps // 10))
         sched = optax.warmup_cosine_decay_schedule(
             0.0, a.lr, warm, a.steps, a.lr * 0.02)
