@@ -185,9 +185,15 @@ def main() -> None:
             REPO, "infernos_tpu", "models", "data", "tiny_stt", "params.npz"))
         if have:
             time.sleep(95.0)  # tunnel claim cooldown
+            # whole trained bank x 8 prompts (the reference's QA sweep
+            # scale, Cluster/InfernBenchActor.py:76-86); the (voice,prompt)
+            # checkpoint makes a timeout-interrupted sweep resume, and
+            # loopback prints an aggregate line per completed voice so a
+            # partial sweep still yields the freshest distribution
             loopback, _ = _run(["-m", "infernos_tpu.bench.loopback",
-                                "--speakers", "4", "--prompts", "2"],
-                               timeout=1800, attempts=1)
+                                "--speakers", "32", "--prompts", "8",
+                                "--checkpoint", "/tmp/loopback_bank.json"],
+                               timeout=2400, attempts=1)
 
     if lt is not None and lt.get("value", 0) > 0:
         result = dict(lt)

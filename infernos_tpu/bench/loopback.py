@@ -52,7 +52,10 @@ class LoopbackQA:
         self.scores: Dict[int, float] = {}
         if checkpoint_path and os.path.exists(checkpoint_path):
             with open(checkpoint_path) as f:
-                self.scores = {int(k): v for k, v in json.load(f).items()}
+                # "sid" keys: per-voice scores; "sid:pidx" cell keys belong
+                # to run_bank sweeps and are reloaded there
+                self.scores = {int(k): v for k, v in json.load(f).items()
+                               if ":" not in str(k)}
 
     def _speak(self, prompt: str, speaker, max_frames: int = 128) -> np.ndarray:
         chunks: List[np.ndarray] = []
@@ -98,6 +101,41 @@ class LoopbackQA:
                 json.dump(self.scores, f)
         return out
 
+    def run_bank(self, bank, speaker_ids, prompts,
+                 on_voice_done: Optional[Callable] = None) -> Dict[int, List[SpeakerScore]]:
+        """Score EVERY voice on EVERY prompt (the reference's whole-bank QA
+        sweep, ``Cluster/InfernBenchActor.py:76-86,259-263``), resumable at
+        (voice, prompt) granularity through ``checkpoint_path``.
+
+        ``self.scores`` keeps the per-voice MEAN; the checkpoint holds the
+        raw ``"sid:pidx" -> sim`` cells so an interrupted sweep resumes
+        mid-voice.
+        """
+        cells: Dict[str, float] = {}
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            with open(self.checkpoint_path) as f:
+                loaded = json.load(f)
+            cells = {k: v for k, v in loaded.items() if ":" in str(k)}
+        per_voice: Dict[int, List[SpeakerScore]] = {}
+        for sid in speaker_ids:
+            rows: List[SpeakerScore] = []
+            for pidx, prompt in enumerate(prompts):
+                key = f"{sid}:{pidx}"
+                if key in cells:
+                    rows.append(SpeakerScore(sid, cells[key], prompt, "", 0.0))
+                    continue
+                s = self.score_speaker(sid, bank.get(sid), prompt)
+                rows.append(s)
+                cells[key] = s.similarity
+                if self.checkpoint_path:
+                    with open(self.checkpoint_path, "w") as f:
+                        json.dump(cells, f)
+            per_voice[sid] = rows
+            self.scores[sid] = float(np.mean([r.similarity for r in rows]))
+            if on_voice_done is not None:
+                on_voice_done(sid, per_voice)
+        return per_voice
+
     def top_speakers(self, n: int = 50) -> List[int]:
         return [sid for sid, _ in sorted(self.scores.items(),
                                          key=lambda kv: -kv[1])[:n]]
@@ -120,8 +158,15 @@ def main() -> None:
 
     enable()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--speakers", type=int, default=8)
-    ap.add_argument("--prompts", type=int, default=2)
+    ap.add_argument("--speakers", type=int, default=8,
+                    help="number of bank voices to sweep")
+    ap.add_argument("--prompts", type=int, default=2,
+                    help="prompts scored PER VOICE")
+    ap.add_argument("--checkpoint", default=None,
+                    help="resumable (voice,prompt)-cell score file")
+    ap.add_argument("--cutoff", type=float, default=0.90,
+                    help="per-voice QA cutoff (ref: max_error < 0.10, "
+                         "Cluster/InfernBenchActor.py:259-263)")
     a = ap.parse_args()
 
     if not (tiny_real.have_tiny_stt() and tiny_real.have_tiny_tts()):
@@ -143,30 +188,58 @@ def main() -> None:
     # trainers' WORDS went bilingual ahead of the bilingual checkpoints)
     prompts = transcript_corpus(a.prompts, seed=555,
                                 words=checkpoint_words("tiny_stt"))
-    qa = LoopbackQA(tts, stt, tokenize=ttok)
+    qa = LoopbackQA(tts, stt, tokenize=ttok, checkpoint_path=a.checkpoint)
 
     class _Bank:
         def get(self, sid):
             return table[sid % len(table)]
 
-    scores = qa.run_generation(_Bank(), list(range(a.speakers)),
-                               prompts * a.speakers)
-    sims = [s.similarity for s in scores]
-    out = {
-        "metric": "loopback_similarity",
-        "value": round(float(np.mean(sims)), 3),
-        "unit": "char-level prompt<->transcript similarity (ref: BERT "
-                "cosine, Cluster/InfernBenchActor.py:76-86)",
-        "detail": {
-            "median": round(float(np.median(sims)), 3),
-            "frac_above_0.8": round(float(np.mean(
-                [s > 0.8 for s in sims])), 3),
-            "samples": [
-                {"speaker": s.speaker_id, "sim": round(s.similarity, 3),
-                 "prompt": s.prompt, "transcript": s.transcript}
-                for s in scores[:4]],
-        },
-    }
+    n_voices = min(a.speakers, len(table)) if a.speakers else len(table)
+
+    def report(per_voice):
+        voice_means = {sid: float(np.mean([r.similarity for r in rows]))
+                       for sid, rows in per_voice.items()}
+        means = np.array(sorted(voice_means.values()))
+        worst = min(voice_means, key=voice_means.get)
+        below = sorted(sid for sid, m in voice_means.items()
+                       if m < a.cutoff)
+        return {
+            "metric": "loopback_similarity",
+            "value": round(float(means.mean()), 3),
+            "unit": "char-level prompt<->transcript similarity (ref: BERT "
+                    "cosine, Cluster/InfernBenchActor.py:76-86)",
+            "detail": {
+                "voices_scored": len(voice_means),
+                "prompts_per_voice": len(prompts),
+                "per_voice_mean_distribution": {
+                    "min": round(float(means[0]), 3),
+                    "p10": round(float(np.percentile(means, 10)), 3),
+                    "median": round(float(np.median(means)), 3),
+                    "p90": round(float(np.percentile(means, 90)), 3),
+                    "max": round(float(means[-1]), 3),
+                },
+                "worst_voice": {"speaker": worst,
+                                "sim": round(voice_means[worst], 3)},
+                "cutoff": a.cutoff,
+                "voices_below_cutoff": below,
+                "frac_passing_cutoff": round(
+                    float(np.mean(means >= a.cutoff)), 3),
+            },
+        }
+
+    def on_voice_done(sid, per_voice):
+        # one parseable line per completed voice: an interrupted sweep
+        # still leaves the caller the freshest complete aggregate
+        print(json.dumps(report(per_voice)), flush=True)
+
+    per_voice = qa.run_bank(_Bank(), list(range(n_voices)), prompts,
+                            on_voice_done=on_voice_done)
+    out = report(per_voice)
+    samples = [r for rows in per_voice.values() for r in rows
+               if r.transcript][:4]
+    out["detail"]["samples"] = [
+        {"speaker": s.speaker_id, "sim": round(s.similarity, 3),
+         "prompt": s.prompt, "transcript": s.transcript} for s in samples]
     print(json.dumps(out))
 
 

@@ -80,6 +80,8 @@ def ensure_backend_or_degrade(probe_timeout_s: float = 90.0) -> str:
 
     import jax
 
+    probe_timeout_s = float(
+        os.environ.get("INFERNOS_PROBE_TIMEOUT_S", probe_timeout_s))
     if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
         return ensure_backend()
     if probe_backend_bounded(probe_timeout_s):

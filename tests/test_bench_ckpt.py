@@ -73,6 +73,44 @@ def test_loopback_qa_scores_speakers(tmp_path):
     assert qa2.scores == qa.scores
 
 
+def test_loopback_bank_sweep_resumes(tmp_path):
+    """run_bank: every (voice, prompt) cell scored; per-voice means in
+    .scores; an interrupted sweep resumes from the cell checkpoint without
+    re-scoring completed cells (VERDICT r3 item 6: whole-bank QA)."""
+    tts = _tts_engine(seed=3)
+    stt = STTEngine(
+        wsp.init_params(jax.random.PRNGKey(0), presets.WHISPER_TINY_TEST),
+        presets.WHISPER_TINY_TEST,
+        STTEngineConfig(batch_slots=2, buckets_s=(2,), max_new_tokens=6,
+                        max_prompt_tokens=8, lang_tokens={"en": 10},
+                        task_transcribe=12, task_translate=13,
+                        no_timestamps=14, no_speech=4),
+    )
+    bank = SpeakerBank.synthetic(dim=presets.SPEECHT5_TINY.speaker_embedding_dim,
+                                 n=4)
+    ckpt_p = str(tmp_path / "cells.json")
+    prompts = ["hello world.", "test prompt."]
+    qa = LoopbackQA(tts, stt, tokenize=CharTokenizer(), checkpoint_path=ckpt_p)
+    done = []
+    pv = qa.run_bank(bank, [0, 1], prompts,
+                     on_voice_done=lambda sid, _: done.append(sid))
+    assert done == [0, 1]
+    assert set(pv) == {0, 1}
+    assert all(len(rows) == 2 for rows in pv.values())
+    assert set(qa.scores) == {0, 1}
+    import json as _json
+
+    cells = _json.loads(open(ckpt_p).read())
+    assert set(cells) == {"0:0", "0:1", "1:0", "1:1"}
+    # resume: a fresh sweep over a SUPERSET of voices reuses the cells
+    # (transcript empty marks a from-checkpoint row) and only scores voice 2
+    qa2 = LoopbackQA(tts, stt, tokenize=CharTokenizer(), checkpoint_path=ckpt_p)
+    pv2 = qa2.run_bank(bank, [0, 1, 2], prompts)
+    assert all(r.transcript == "" for r in pv2[0] + pv2[1])
+    assert [r.similarity for r in pv2[0]] == [r.similarity for r in pv[0]]
+    assert set(qa2.scores) == {0, 1, 2}
+
+
 def test_text_similarity():
     assert text_similarity("hello world", "hello world") == 1.0
     assert text_similarity("hello", "goodbye") < 0.5
