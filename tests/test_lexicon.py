@@ -24,8 +24,22 @@ def test_mapping_is_invertible_and_ascii():
     assert len(PT_EN) == len(EN_PT)
     for w in list(EN_PT) + list(EN_PT.values()):
         assert re.fullmatch(r"[a-z]+", w), w
-    # no pt word shadows an en word (passthrough space stays unambiguous)
-    assert not set(EN_PT) & set(EN_PT.values())
+    # a pt word may shadow an en word ONLY as an identity mapping ("zero"
+    # is the same word in both languages); everything else must round-trip
+    # exactly in both directions
+    for en, pt in EN_PT.items():
+        if pt in EN_PT:
+            assert pt == en, f"pt {pt!r} shadows a different en word"
+        assert PT_EN[pt] == en
+
+
+def test_real_portuguese_spellings():
+    """VERDICT r3 weak 7: real forms, not letter-set respellings -- q and j
+    are in the lexicon (and therefore in the bilingual training corpus)."""
+    vals = set(EN_PT.values())
+    assert {"quatro", "ajuda", "hoje", "quando", "quero", "que"} <= vals
+    letters = set("".join(vals))
+    assert {"q", "j"} <= letters
 
 
 def test_round_trip_exact():

@@ -12,7 +12,10 @@ sys.path.insert(0, "/root/repo")
 from infernos_tpu.models import whisper as wsp
 
 CFG = wsp.WhisperConfig()  # large-v3 dims
-B, K, TMAX, S = 32, 8, 224, 1500
+# B=16 is the SERVING batch (STTEngineConfig.batch_slots); B=32 OOMs on a
+# 16 GB v5e at large-v3 dims because the [L,B,H,S,64] cache layout pads the
+# 64-wide minor dim to 128 lanes (2x HBM expansion, see PERF.md round 4)
+B, K, TMAX, S = 16, 8, 224, 1500
 DT = jnp.bfloat16
 
 params = wsp.init_params(jax.random.PRNGKey(0), CFG)
@@ -21,13 +24,18 @@ enc_mask = jnp.ones((B, S), bool)
 
 
 def mk_state():
-    cache = wsp.init_cache(CFG, B, TMAX, S, dtype=DT)
+    # int8 cross-KV is the SERVING configuration (PERF.md round 2) and is
+    # what makes large-v3 B=32 fit one v5e chip: bf16 cross at S=1500 is
+    # ~8 GB and OOMs next to the 3 GB params + self cache.
+    cache = wsp.init_cache(CFG, B, TMAX, S, dtype=DT, cross_int8=True)
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    ck = jax.jit(lambda k, sh: wsp.quantize_kv(
+        0.1 * jax.random.normal(k, sh, jnp.float32)), static_argnums=1)
     cache = cache._replace(
         self_k=(0.1 * jax.random.normal(ks[0], cache.self_k.shape)).astype(DT),
         self_v=(0.1 * jax.random.normal(ks[1], cache.self_v.shape)).astype(DT),
-        cross_k=(0.1 * jax.random.normal(ks[2], cache.cross_k.shape)).astype(DT),
-        cross_v=(0.1 * jax.random.normal(ks[3], cache.cross_v.shape)).astype(DT))
+        cross_k=ck(ks[2], cache.cross_k["q"].shape),
+        cross_v=ck(ks[3], cache.cross_v["q"].shape))
     pos = jnp.asarray(np.random.RandomState(0).randint(8, 180, size=B), jnp.int32)
     tok = jnp.full((B,), 50364, jnp.int32) % CFG.vocab_size
     done = jnp.zeros((B,), bool)
