@@ -320,6 +320,125 @@ def attention_step_ring(
     return linear(merge_heads(out), p["o"]), ring_k, ring_v
 
 
+def attention_step_tm(
+    p: Params,
+    x_q,
+    *,
+    n_heads: int,
+    k_cache,
+    v_cache,
+    pos,
+    kv_len_mask=None,
+):
+    """Time-minor variant of :func:`attention_step`: caches ``[B, H, Dh, T]``
+    (see :func:`attention_step_ring_tm` for the layout rationale)."""
+    B, _, D = x_q.shape
+    dh = D // n_heads
+    scale = dh**-0.5
+    q = split_heads(linear(x_q, p["q"]), n_heads) * scale  # [B,H,1,dh]
+    k_new = split_heads(linear(x_q, p["k"]), n_heads)[:, :, 0]  # [B,H,dh]
+    v_new = split_heads(linear(x_q, p["v"]), n_heads)[:, :, 0]
+
+    def upd(cache, new, pos):  # cache [H,Dh,T], new [H,Dh]
+        return jax.lax.dynamic_update_slice_in_dim(cache, new[:, :, None], pos, axis=2)
+
+    k_cache = jax.vmap(upd)(k_cache, k_new, pos)
+    v_cache = jax.vmap(upd)(v_cache, v_new, pos)
+    Tmax = k_cache.shape[3]
+    kpos = jnp.arange(Tmax)[None, None, None, :]  # [1,1,1,T]
+    valid = kpos <= pos[:, None, None, None]
+    if kv_len_mask is not None:
+        valid = jnp.logical_and(valid, kv_len_mask[:, None, None, :])
+    logits = jnp.einsum("bhqd,bhdt->bhqt", q, k_cache)
+    logits = jnp.where(valid, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqt,bhdt->bhqd", w, v_cache)
+    return linear(merge_heads(out), p["o"]), k_cache, v_cache
+
+
+def attention_step_ring_tm(
+    p: Params,
+    x_q,
+    *,
+    n_heads: int,
+    k_cache,
+    v_cache,
+    ring_k,
+    ring_v,
+    pos0,
+    step_i,
+    kv_len_mask=None,
+):
+    """Time-minor variant of :func:`attention_step_ring`.
+
+    Caches/rings store TIME as the minor dim -- ``[B, H, Dh, T]`` /
+    ``[B, H, Dh, K]``.  Rationale: with Dh=64 minor (whisper), TPU tiling
+    pads the 64-wide lane dim to 128, a 2x HBM expansion on every cache
+    buffer, and XLA keeps a compressed (time-minor) copy at rest plus an
+    uncompressed padded copy per consumer (observed in the round-4 OOM
+    dump, PERF.md).  Time-minor storage makes the minor dim T (amply
+    divisible) so the cache is stored compact and read without copies.
+    Contractions need no physical transpose: QK^T contracts over Dh
+    (second-minor of K), attn.V contracts over T (minor of both).
+    """
+    B, _, D = x_q.shape
+    dh = D // n_heads
+    scale = dh**-0.5
+    q = split_heads(linear(x_q, p["q"]), n_heads) * scale  # [B,H,1,dh]
+    k_new = split_heads(linear(x_q, p["k"]), n_heads)[:, :, 0]  # [B,H,dh]
+    v_new = split_heads(linear(x_q, p["v"]), n_heads)[:, :, 0]
+    ring_k = jax.lax.dynamic_update_slice_in_dim(
+        ring_k, k_new[:, :, :, None], step_i, axis=3)
+    ring_v = jax.lax.dynamic_update_slice_in_dim(
+        ring_v, v_new[:, :, :, None], step_i, axis=3)
+
+    Tmax = k_cache.shape[3]
+    K = ring_k.shape[3]
+    kpos = jnp.arange(Tmax)[None, None, None, :]  # [1,1,1,T]
+    valid = kpos < pos0[:, None, None, None]
+    if kv_len_mask is not None:
+        valid = jnp.logical_and(valid, kv_len_mask[:, None, None, :])
+    big = jnp.einsum("bhqd,bhdt->bhqt", q, k_cache)
+    big = jnp.where(valid, big, NEG_INF)
+    ring = jnp.einsum("bhqd,bhdt->bhqt", q, ring_k)
+    rvalid = (jnp.arange(K) <= step_i)[None, None, None, :]
+    ring = jnp.where(rvalid, ring, NEG_INF)
+    logits = jnp.concatenate([big, ring], axis=-1)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = (jnp.einsum("bhqt,bhdt->bhqd", w[..., :Tmax], v_cache)
+           + jnp.einsum("bhqt,bhdt->bhqd", w[..., Tmax:], ring_v))
+    return linear(merge_heads(out), p["o"]), ring_k, ring_v
+
+
+def cross_attention_step_tm(p: Params, x_q, k_tm, v_tm, *, n_heads: int,
+                            kv_mask=None):
+    """Time-minor variant of :func:`cross_attention_step`.
+
+    k_tm/v_tm: ``[B, H, Dh, S]`` (encoder K/V stored time-minor; see
+    :func:`attention_step_ring_tm` for why).
+    """
+    B, _, D = x_q.shape
+    dh = D // n_heads
+    q = split_heads(linear(x_q, p["q"]), n_heads) * dh**-0.5
+    logits = jnp.einsum("bhqd,bhds->bhqs", q, k_tm)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqs,bhds->bhqd", w, v_tm)
+    return linear(merge_heads(out), p["o"])
+
+
+def merge_kv_ring_tm(cache_arr, ring, tpos):
+    """Time-minor :func:`merge_kv_ring`: cache ``[L, B, H, Dh, T]``,
+    ring ``[L, B, H, Dh, K]``, ``tpos`` ``[B, K]``."""
+    B = ring.shape[1]
+    b = jnp.arange(B)[:, None]
+    # advanced indices (b, tpos) at axes 1 and 4 -> batch dims to front:
+    # update value layout [B, K, L, H, Dh]
+    return cache_arr.at[:, b, :, :, tpos].set(
+        jnp.transpose(ring, (1, 4, 0, 2, 3)), mode="drop")
+
+
 def merge_kv_ring(cache_arr, ring, tpos):
     """Scatter one dispatch's ring columns into a big cache array ONCE.
 

@@ -204,17 +204,37 @@ def dequantize_kv(c, dtype):
 
 
 def init_cache(cfg: WhisperConfig, batch: int, max_steps: int, enc_len: int,
-               dtype=jnp.float32, cross_int8: bool = False) -> WhisperCache:
+               dtype=jnp.float32, cross_int8: bool = False,
+               time_minor: bool = False) -> WhisperCache:
+    """``time_minor=True`` stores every cache with TIME as the minor dim
+    (``[L, B, H, Dh, T]``); with head_dim=64 minor the TPU pads the lane
+    dim 64->128 (2x HBM on every cache buffer, PERF.md round 4), while T
+    (224 / 1500) pads by <15%/2%."""
     Lyr, H, Dh = cfg.decoder_layers, cfg.decoder_attention_heads, cfg.head_dim
-    z = lambda t: jnp.zeros((Lyr, batch, H, t, Dh), dtype)
-    if cross_int8:
+    if time_minor:
+        z = lambda t: jnp.zeros((Lyr, batch, H, Dh, t), dtype)
+        zq = lambda t: {"q": jnp.zeros((Lyr, batch, H, Dh, t), jnp.int8),
+                        "s": jnp.zeros((Lyr, batch, H, 1, t), jnp.float32)}
+    else:
+        z = lambda t: jnp.zeros((Lyr, batch, H, t, Dh), dtype)
         zq = lambda t: {"q": jnp.zeros((Lyr, batch, H, t, Dh), jnp.int8),
                         "s": jnp.zeros((Lyr, batch, H, t, 1), jnp.float32)}
+    if cross_int8:
         return WhisperCache(z(max_steps), z(max_steps), zq(enc_len), zq(enc_len))
     return WhisperCache(z(max_steps), z(max_steps), z(enc_len), z(enc_len))
 
 
-def fill_cross_kv(params, cfg: WhisperConfig, cache: WhisperCache, enc_out) -> WhisperCache:
+def to_time_minor_kv(c):
+    """Canonical ``[..., T, Dh]`` K/V (dense or int8 dict) -> time-minor
+    ``[..., Dh, T]``.  ``dequantize_kv`` broadcasts either orientation."""
+    if isinstance(c, dict):
+        return {"q": jnp.swapaxes(c["q"], -1, -2),
+                "s": jnp.swapaxes(c["s"], -1, -2)}
+    return jnp.swapaxes(c, -1, -2)
+
+
+def fill_cross_kv(params, cfg: WhisperConfig, cache: WhisperCache, enc_out,
+                  time_minor: bool = False) -> WhisperCache:
     def body(_, lp):
         k, v = L.precompute_cross_kv(lp["cross_attn"], enc_out,
                                      n_heads=cfg.decoder_attention_heads)
@@ -223,6 +243,8 @@ def fill_cross_kv(params, cfg: WhisperConfig, cache: WhisperCache, enc_out) -> W
     _, (ks, vs) = jax.lax.scan(body, None, params["dec_layers"])
     if isinstance(cache.cross_k, dict):
         ks, vs = quantize_kv(ks), quantize_kv(vs)
+    if time_minor:
+        ks, vs = to_time_minor_kv(ks), to_time_minor_kv(vs)
     return cache._replace(cross_k=ks, cross_v=vs)
 
 
@@ -254,21 +276,25 @@ def decode_full(params, cfg: WhisperConfig, tokens, enc_out, enc_mask=None):
 
 
 def decode_step(params, cfg: WhisperConfig, tokens, cache: WhisperCache, pos,
-                enc_mask=None) -> Tuple[jnp.ndarray, WhisperCache]:
+                enc_mask=None, time_minor: bool = False
+                ) -> Tuple[jnp.ndarray, WhisperCache]:
     """One greedy step for all slots: tokens ``[B]``, pos ``[B]`` ->
-    (logits ``[B, V]``, cache)."""
+    (logits ``[B, V]``, cache).  ``time_minor``: caches are
+    ``[L, B, H, Dh, T]`` (see :func:`init_cache`)."""
     H = cfg.decoder_attention_heads
+    self_step = L.attention_step_tm if time_minor else L.attention_step
+    cross_step = L.cross_attention_step_tm if time_minor else L.cross_attention_step
     x = params["tok_embed"]["w"][tokens][:, None, :] + \
         params["dec_pos"]["w"][pos][:, None, :]
 
     def body(x, layer):
         lp, k_l, v_l, ck_l, cv_l = layer
-        h, k_c, v_c = L.attention_step(
+        h, k_c, v_c = self_step(
             lp["self_attn"], L.layer_norm(x, lp["ln1"]), n_heads=H,
             k_cache=k_l, v_cache=v_l, pos=pos,
         )
         x = x + h
-        h = L.cross_attention_step(
+        h = cross_step(
             lp["cross_attn"], L.layer_norm(x, lp["ln2"]),
             dequantize_kv(ck_l, x.dtype), dequantize_kv(cv_l, x.dtype),
             n_heads=H, kv_mask=enc_mask,
@@ -286,17 +312,21 @@ def decode_step(params, cfg: WhisperConfig, tokens, cache: WhisperCache, pos,
     return logits, cache._replace(self_k=sk, self_v=sv)
 
 
-def init_ring(cfg: WhisperConfig, batch: int, k_steps: int, dtype=jnp.float32):
+def init_ring(cfg: WhisperConfig, batch: int, k_steps: int, dtype=jnp.float32,
+              time_minor: bool = False):
     """Per-dispatch K/V ring for :func:`decode_step_ring`:
-    ``([L, B, H, K, Dh], [L, B, H, K, Dh])`` zeros."""
-    shape = (cfg.decoder_layers, batch, cfg.decoder_attention_heads,
-             k_steps, cfg.d_model // cfg.decoder_attention_heads)
+    ``([L, B, H, K, Dh], [L, B, H, K, Dh])`` zeros (``[L, B, H, Dh, K]``
+    when ``time_minor``)."""
+    H, Dh = cfg.decoder_attention_heads, cfg.d_model // cfg.decoder_attention_heads
+    shape = ((cfg.decoder_layers, batch, H, Dh, k_steps) if time_minor
+             else (cfg.decoder_layers, batch, H, k_steps, Dh))
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
                      ring_k, ring_v, pos0, pos, step_i,
-                     enc_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                     enc_mask=None, time_minor: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step that writes K/V to the dispatch ring, not the cache.
 
     The engine's K-step dispatch scans this with (ring_k, ring_v) in the
@@ -309,18 +339,20 @@ def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
     Returns (logits ``[B, V]``, ring_k, ring_v).
     """
     H = cfg.decoder_attention_heads
+    ring_step = L.attention_step_ring_tm if time_minor else L.attention_step_ring
+    cross_step = L.cross_attention_step_tm if time_minor else L.cross_attention_step
     x = params["tok_embed"]["w"][tokens][:, None, :] + \
         params["dec_pos"]["w"][pos][:, None, :]
 
     def body(x, layer):
         lp, k_l, v_l, ck_l, cv_l, rk_l, rv_l = layer
-        h, rk_l, rv_l = L.attention_step_ring(
+        h, rk_l, rv_l = ring_step(
             lp["self_attn"], L.layer_norm(x, lp["ln1"]), n_heads=H,
             k_cache=k_l, v_cache=v_l, ring_k=rk_l, ring_v=rv_l,
             pos0=pos0, step_i=step_i,
         )
         x = x + h
-        h = L.cross_attention_step(
+        h = cross_step(
             lp["cross_attn"], L.layer_norm(x, lp["ln2"]),
             dequantize_kv(ck_l, x.dtype), dequantize_kv(cv_l, x.dtype),
             n_heads=H, kv_mask=enc_mask,
@@ -338,16 +370,18 @@ def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
     return logits, rk, rv
 
 
-def merge_ring(cache: WhisperCache, ring_k, ring_v, tpos) -> WhisperCache:
+def merge_ring(cache: WhisperCache, ring_k, ring_v, tpos,
+               time_minor: bool = False) -> WhisperCache:
     """Scatter a dispatch's ring columns into the big cache ONCE.
 
     ``tpos`` ``[B, K]`` int32: target time index per (slot, dispatch step);
     entries >= Tmax (the done-slot sentinel) are dropped (see
     ``layers.merge_kv_ring``).
     """
+    merge = L.merge_kv_ring_tm if time_minor else L.merge_kv_ring
     return cache._replace(
-        self_k=L.merge_kv_ring(cache.self_k, ring_k, tpos),
-        self_v=L.merge_kv_ring(cache.self_v, ring_v, tpos))
+        self_k=merge(cache.self_k, ring_k, tpos),
+        self_v=merge(cache.self_v, ring_v, tpos))
 
 
 def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, prompt_len, *,

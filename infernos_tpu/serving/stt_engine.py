@@ -91,6 +91,11 @@ class STTEngineConfig:
     # bf16 serving (the cross cache is the step's dominant memory traffic at
     # large-v3) -- enables 16 slots at the 30 s bucket (NEXT.md item 2/3)
     cross_kv_int8: bool = True
+    # store every K/V cache time-minor ([L,B,H,Dh,T]): head_dim=64 as the
+    # minor dim pads 64->128 lanes on TPU (2x HBM on every cache buffer +
+    # per-consumer uncompress copies, PERF.md round 4); time-minor storage
+    # is compact and copy-free.  Numerics identical (tests/test_time_minor).
+    cache_time_minor: bool = False
     # decode steps per device dispatch (lax.scan): the AR feedback loop is
     # already in-device (done flags, frozen cur_tok), so chaining K steps
     # amortizes host dispatch latency K-fold -- the difference between
@@ -193,7 +198,8 @@ class STTEngine:
         self.max_enc_len = (max(ecfg.buckets_s) * ecfg.sample_rate // HOP) // 2
         self.cache = wsp.init_cache(cfg, B, ecfg.max_total_tokens,
                                     self.max_enc_len, dtype=ecfg.dtype,
-                                    cross_int8=ecfg.cross_kv_int8)
+                                    cross_int8=ecfg.cross_kv_int8,
+                                    time_minor=ecfg.cache_time_minor)
         self.enc_mask = jnp.zeros((B, self.max_enc_len), bool)
         self.pos = jnp.zeros((B,), jnp.int32)
         self.cur_tok = jnp.zeros((B,), jnp.int32)
@@ -297,6 +303,9 @@ class STTEngine:
         pad_t = self.ecfg.max_total_tokens - P
         sk = jnp.pad(self_k[:, 0], ((0, 0), (0, 0), (0, pad_t), (0, 0)))
         sv = jnp.pad(self_v[:, 0], ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        if self.ecfg.cache_time_minor:
+            ck, cv = wsp.to_time_minor_kv(ck), wsp.to_time_minor_kv(cv)
+            sk, sv = jnp.swapaxes(sk, -1, -2), jnp.swapaxes(sv, -1, -2)
         upd_slot = lambda c, n: jax.lax.dynamic_update_index_in_dim(c, n, slot, 1)
         cache = cache._replace(
             cross_k=jax.tree_util.tree_map(upd_slot, cache.cross_k, ck),
@@ -325,10 +334,11 @@ class STTEngine:
         sup_arr = jnp.asarray(sup) if sup else None
         base_key = jax.random.PRNGKey(seed)
         K = self.ecfg.steps_per_dispatch
-        Tmax = cache.self_k.shape[3]
+        tm = self.ecfg.cache_time_minor
+        Tmax = cache.self_k.shape[-1 if tm else 3]
         pos0 = pos  # per-slot position at dispatch entry (ring mask base)
         ring_k, ring_v = wsp.init_ring(self.cfg, pos.shape[0], K,
-                                       cache.self_k.dtype)
+                                       cache.self_k.dtype, time_minor=tm)
 
         def one(carry, step_i):
             ring_k, ring_v, pos, cur_tok, done, logp = carry
@@ -338,7 +348,7 @@ class STTEngine:
             # every iteration (~16% of step time at B=32 large-v3)
             logits, ring_k, ring_v = wsp.decode_step_ring(
                 params, self.cfg, cur_tok, cache, ring_k, ring_v, pos0,
-                pos, step_i, enc_mask=enc_mask)
+                pos, step_i, enc_mask=enc_mask, time_minor=tm)
             if sup_arr is not None:
                 logits = logits.at[:, sup_arr].set(L.NEG_INF)
             lf = logits.astype(jnp.float32)
@@ -366,7 +376,7 @@ class STTEngine:
         (ring_k, ring_v, pos, cur_tok, done, logp), (nxts, dones, wposs) = \
             jax.lax.scan(one, (ring_k, ring_v, pos, cur_tok, done, logp),
                          jnp.arange(K))
-        cache = wsp.merge_ring(cache, ring_k, ring_v, wposs.T)
+        cache = wsp.merge_ring(cache, ring_k, ring_v, wposs.T, time_minor=tm)
         return cache, pos, cur_tok, done, logp, nxts.T, dones.T
 
     # -- public API -----------------------------------------------------------
@@ -446,7 +456,8 @@ class STTEngine:
             self.cache = wsp.init_cache(self.cfg, self.ecfg.batch_slots,
                                         self.ecfg.max_total_tokens,
                                         self.max_enc_len, dtype=self.ecfg.dtype,
-                                        cross_int8=self.ecfg.cross_kv_int8)
+                                        cross_int8=self.ecfg.cross_kv_int8,
+                                        time_minor=self.ecfg.cache_time_minor)
             self.enc_mask = jnp.zeros_like(self.enc_mask)
             self.pos = jnp.zeros_like(self.pos)
             self.cur_tok = jnp.zeros_like(self.cur_tok)

@@ -137,6 +137,37 @@ def test_cross_kv_int8_matches_dense():
     assert abs(q.no_speech_prob - dense.no_speech_prob) < 0.05
 
 
+def test_time_minor_cache_matches_canonical():
+    """Engine-level parity for cache_time_minor ([L,B,H,Dh,T] storage,
+    the 2x-padding fix, PERF.md round 4): identical tokens and logprobs
+    through submit -> prefill -> join -> K-step ring decode -> harvest."""
+    import dataclasses as dc
+
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    base = STTEngineConfig(
+        batch_slots=3, buckets_s=(1,), sample_rate=16000,
+        max_new_tokens=6, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4, cross_kv_int8=True)
+
+    def run(ecfg):
+        eng = STTEngine(params, TINY, ecfg)
+        out = []
+        for seed in (3, 4, 5):
+            eng.submit(STTRequest(audio=_audio(0.7, seed=seed),
+                                  text_cb=out.append))
+        while eng.step():
+            pass
+        return out
+
+    can = run(base)
+    tm = run(dc.replace(base, cache_time_minor=True))
+    assert [r.tokens for r in tm] == [r.tokens for r in can]
+    for a, b in zip(tm, can):
+        assert abs(a.no_speech_prob - b.no_speech_prob) < 1e-4
+        assert abs(a.avg_logprob - b.avg_logprob) < 1e-3
+
+
 def test_multi_step_dispatch_matches_single():
     """steps_per_dispatch=4 must produce identical transcripts to K=1 (the
     AR loop is in-device either way; only dispatch granularity changes)."""
