@@ -428,6 +428,52 @@ def cross_attention_step_tm(p: Params, x_q, k_tm, v_tm, *, n_heads: int,
     return linear(merge_heads(out), p["o"])
 
 
+def cross_attention_step_i8(p: Params, x_q, k_c, v_c, *, n_heads: int,
+                            kv_mask=None):
+    """Int8-DIRECT cross-attention step (time-minor int8 caches).
+
+    The int8 cross cache is the decode step's dominant HBM traffic, but
+    dequantizing it per step (``dequantize_kv`` -> bf16 einsum) makes XLA
+    materialize a full-size bf16 copy each layer -- measured round 4: the
+    B=16 large-v3 ring step runs ~29 ms, matching a traffic model where
+    every layer writes+reads the dequantized K and V (~24 GB/step), not
+    the ~5 GB the int8 bytes suggest.  This variant feeds the MXU int8
+    directly (s8 x s8 -> s32 dots) and folds the scales OUTSIDE the
+    contractions, so the caches are read once, at int8 width:
+
+    - QK^T: quantize q per (b, h) -> ``qq . kq`` over Dh; logits =
+      acc * q_scale * k_scale[s] (exact given the stored int8 K).
+    - attn.V: fold V's per-position scales into the probs
+      (``p'[s] = p[s] * vs[s]``), quantize p' per (b, h) to int8,
+      ``p'q . vq`` over S; out = acc * p'_scale.  Only NEW error vs the
+      dequantize path: int8 rounding of q and p' (~0.4% of row max).
+
+    k_c/v_c: ``{"q": int8 [B, H, Dh, S], "s": f32 [B, H, 1, S]}``
+    (time-minor, :func:`infernos_tpu.models.whisper.init_cache`).
+    """
+    B, _, D = x_q.shape
+    dh = D // n_heads
+    q = split_heads(linear(x_q, p["q"]), n_heads) * dh**-0.5  # [B,H,1,dh]
+    qf = q.astype(jnp.float32)
+    qa = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8)
+    qs = qa / 127.0
+    qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(qq, k_c["q"], (((3,), (2,)), ((0, 1), (0, 1))),
+                              preferred_element_type=jnp.int32)  # [B,H,1,S]
+    logits = acc.astype(jnp.float32) * qs * k_c["s"]
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    wp = w * v_c["s"]  # fold per-position V scales into the probs
+    wa = jnp.maximum(jnp.max(wp, axis=-1, keepdims=True), 1e-20)
+    ws = wa / 127.0
+    wq = jnp.clip(jnp.round(wp / ws), 0, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(wq, v_c["q"], (((3,), (3,)), ((0, 1), (0, 1))),
+                               preferred_element_type=jnp.int32)  # [B,H,1,dh]
+    out = (acc2.astype(jnp.float32) * ws).astype(x_q.dtype)
+    return linear(merge_heads(out), p["o"])
+
+
 def merge_kv_ring_tm(cache_arr, ring, tpos):
     """Time-minor :func:`merge_kv_ring`: cache ``[L, B, H, Dh, T]``,
     ring ``[L, B, H, Dh, K]``, ``tpos`` ``[B, K]``."""

@@ -325,7 +325,8 @@ def init_ring(cfg: WhisperConfig, batch: int, k_steps: int, dtype=jnp.float32,
 
 def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
                      ring_k, ring_v, pos0, pos, step_i,
-                     enc_mask=None, time_minor: bool = False
+                     enc_mask=None, time_minor: bool = False,
+                     cross_direct_int8: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step that writes K/V to the dispatch ring, not the cache.
 
@@ -340,6 +341,8 @@ def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
     """
     H = cfg.decoder_attention_heads
     ring_step = L.attention_step_ring_tm if time_minor else L.attention_step_ring
+    if cross_direct_int8:
+        assert time_minor, "int8-direct cross attention needs time-minor caches"
     cross_step = L.cross_attention_step_tm if time_minor else L.cross_attention_step
     x = params["tok_embed"]["w"][tokens][:, None, :] + \
         params["dec_pos"]["w"][pos][:, None, :]
@@ -352,11 +355,17 @@ def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
             pos0=pos0, step_i=step_i,
         )
         x = x + h
-        h = cross_step(
-            lp["cross_attn"], L.layer_norm(x, lp["ln2"]),
-            dequantize_kv(ck_l, x.dtype), dequantize_kv(cv_l, x.dtype),
-            n_heads=H, kv_mask=enc_mask,
-        )
+        if cross_direct_int8:
+            h = L.cross_attention_step_i8(
+                lp["cross_attn"], L.layer_norm(x, lp["ln2"]), ck_l, cv_l,
+                n_heads=H, kv_mask=enc_mask,
+            )
+        else:
+            h = cross_step(
+                lp["cross_attn"], L.layer_norm(x, lp["ln2"]),
+                dequantize_kv(ck_l, x.dtype), dequantize_kv(cv_l, x.dtype),
+                n_heads=H, kv_mask=enc_mask,
+            )
         x = x + h
         h = L.layer_norm(x, lp["ln3"])
         h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False), lp["fc2"])

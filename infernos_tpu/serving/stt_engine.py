@@ -96,6 +96,13 @@ class STTEngineConfig:
     # per-consumer uncompress copies, PERF.md round 4); time-minor storage
     # is compact and copy-free.  Numerics identical (tests/test_time_minor).
     cache_time_minor: bool = False
+    # feed the int8 cross cache to the MXU directly (s8 x s8 dots, scales
+    # folded outside the contractions, layers.cross_attention_step_i8):
+    # removes the per-layer dequantized-K/V materialization that dominates
+    # decode-step HBM traffic.  Requires cache_time_minor + cross_kv_int8.
+    # Adds int8 rounding of q and of the scale-folded probs (~0.4% of row
+    # max; greedy tokens unchanged on the tiny model, test_stt_engine).
+    cross_int8_direct: bool = False
     # decode steps per device dispatch (lax.scan): the AR feedback loop is
     # already in-device (done flags, frozen cur_tok), so chaining K steps
     # amortizes host dispatch latency K-fold -- the difference between
@@ -348,7 +355,8 @@ class STTEngine:
             # every iteration (~16% of step time at B=32 large-v3)
             logits, ring_k, ring_v = wsp.decode_step_ring(
                 params, self.cfg, cur_tok, cache, ring_k, ring_v, pos0,
-                pos, step_i, enc_mask=enc_mask, time_minor=tm)
+                pos, step_i, enc_mask=enc_mask, time_minor=tm,
+                cross_direct_int8=self.ecfg.cross_int8_direct)
             if sup_arr is not None:
                 logits = logits.at[:, sup_arr].set(L.NEG_INF)
             lf = logits.astype(jnp.float32)

@@ -168,6 +168,37 @@ def test_time_minor_cache_matches_canonical():
         assert abs(a.avg_logprob - b.avg_logprob) < 1e-3
 
 
+def test_cross_int8_direct_matches_dequantize():
+    """Int8-direct cross attention (s8 x s8 dots, scales folded out) must
+    track the dequantize path: same greedy tokens, close logprobs -- the
+    only added error is int8 rounding of q and the scale-folded probs."""
+    import dataclasses as dc
+
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    base = STTEngineConfig(
+        batch_slots=3, buckets_s=(1,), sample_rate=16000,
+        max_new_tokens=6, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4, cross_kv_int8=True,
+        cache_time_minor=True)
+
+    def run(ecfg):
+        eng = STTEngine(params, TINY, ecfg)
+        out = []
+        for seed in (3, 4, 5):
+            eng.submit(STTRequest(audio=_audio(0.7, seed=seed),
+                                  text_cb=out.append))
+        while eng.step():
+            pass
+        return out
+
+    ref = run(base)
+    i8 = run(dc.replace(base, cross_int8_direct=True))
+    assert [r.tokens for r in i8] == [r.tokens for r in ref]
+    for a, b in zip(i8, ref):
+        assert abs(a.avg_logprob - b.avg_logprob) < 0.05
+
+
 def test_multi_step_dispatch_matches_single():
     """steps_per_dispatch=4 must produce identical transcripts to K=1 (the
     AR loop is in-device either way; only dispatch granularity changes)."""

@@ -40,15 +40,14 @@ def bench(label, fn, ws, wbytes, n=30):
 
 
 def main():
+    # timing-only weights, generated directly in their storage dtypes (an
+    # f32 master at these dims is 7.6 GB and OOMs next to the variants)
     kw = jax.random.PRNGKey(1)
-    w = jax.random.normal(kw, (N_LAYERS, DIN, DOUT), jnp.float32) * 0.02
-    amax = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-8)
-    scale = (amax / 127.0).astype(jnp.float32)
-    w_q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127).astype(jnp.int8)
-    w_bf = jax.device_put(w.astype(jnp.bfloat16))
-    w_q = jax.device_put(w_q)
-    scale = jax.device_put(scale)
-    del w
+    w_q = jax.jit(lambda k: jax.random.randint(
+        k, (N_LAYERS, DIN, DOUT), -127, 128, jnp.int8))(kw)
+    scale = jnp.full((N_LAYERS, DOUT), 2e-4, jnp.float32)
+    w_bf = jax.jit(lambda k: 0.02 * jax.random.normal(
+        k, (N_LAYERS, DIN, DOUT), jnp.bfloat16))(kw)
 
     def scan_over(fn_one):
         def run(x, ws):
@@ -84,6 +83,41 @@ def main():
 
     bench("c) w8a8 dynamic-activation", scan_over(w8a8),
           (w_q, scale), w_q.nbytes)
+
+    # d/e: is the bottleneck the scan's dynamic weight slice?  XLA's
+    # copy-insertion materializes a copy of each sliced layer weight
+    # (`copy(p__dec_layers__..._w__)` in the round-4 OOM dump) -> 3x
+    # traffic.  d) python-unrolled loop over a LIST of per-layer weights
+    # (no slicing at all); e) lax.scan(unroll=full).
+    w_list = [(w_q[i], scale[i]) for i in range(N_LAYERS)]
+
+    def unrolled(x, ws):
+        for wl in ws:
+            y = jnp.einsum("bi,io->bo", x, wl[0].astype(x.dtype)) \
+                * wl[1].astype(x.dtype)
+            x = y[:, :DIN].astype(jnp.bfloat16)
+        return x
+
+    bench("d) python-unrolled int8", unrolled, w_list, w_q.nbytes)
+
+    def scan_unroll(x, ws):
+        def body(x, wl):
+            y = jnp.einsum("bi,io->bo", x, wl[0].astype(x.dtype)) \
+                * wl[1].astype(x.dtype)
+            return y[:, :DIN].astype(jnp.bfloat16), ()
+        y, _ = jax.lax.scan(body, x, ws, unroll=N_LAYERS)
+        return y
+
+    bench("e) scan(unroll=full) int8", scan_unroll, (w_q, scale), w_q.nbytes)
+
+    def unrolled_bf(x, ws):
+        for wl in ws:
+            y = jnp.einsum("bi,io->bo", x, wl)
+            x = y[:, :DIN].astype(jnp.bfloat16)
+        return x
+
+    w_bf_list = [w_bf[i] for i in range(N_LAYERS)]
+    bench("f) python-unrolled bf16", unrolled_bf, w_bf_list, w_bf.nbytes)
     print("AB DONE", flush=True)
 
 

@@ -28,7 +28,9 @@ def mk_state(tm):
 
     def fill(k):
         x = 0.1 * jax.random.normal(k, qshape, jnp.float32)
-        amax = jnp.maximum(jnp.max(jnp.abs(x), axis=(-1 if tm else -2),
+        # per-POSITION scales over the head dim: canonical [*,S,Dh] ->
+        # amax over -1 (s [*,S,1]); time-minor [*,Dh,S] -> over -2 ([*,1,S])
+        amax = jnp.maximum(jnp.max(jnp.abs(x), axis=(-2 if tm else -1),
                                    keepdims=True), 1e-8)
         s = (amax / 127.0).astype(jnp.float32)
         q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
@@ -44,7 +46,7 @@ def mk_state(tm):
     return cache, pos, tok, done
 
 
-def step_ring(tm):
+def step_ring(tm, i8=False):
     def run(params, cache, pos, tok, done):
         pos0 = pos
         ring_k, ring_v = wsp.init_ring(CFG, B, K, cache.self_k.dtype,
@@ -54,7 +56,7 @@ def step_ring(tm):
             ring_k, ring_v, pos, tok, done = carry
             logits, ring_k, ring_v = wsp.decode_step_ring(
                 params, CFG, tok, cache, ring_k, ring_v, pos0, pos, step_i,
-                enc_mask=enc_mask, time_minor=tm)
+                enc_mask=enc_mask, time_minor=tm, cross_direct_int8=i8)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             new_done = jnp.logical_or(done, nxt == CFG.eos_token_id)
             wpos = jnp.where(done, TMAX, pos)
@@ -68,8 +70,8 @@ def step_ring(tm):
     return run
 
 
-def bench(label, tm, n=25):
-    j = jax.jit(step_ring(tm), donate_argnums=(1,))
+def bench(label, tm, i8=False, n=25):
+    j = jax.jit(step_ring(tm, i8), donate_argnums=(1,))
     cache, pos, tok, done = mk_state(tm)
     out = j(params, cache, pos, tok, done)
     jax.block_until_ready(out)
@@ -93,7 +95,14 @@ def bench(label, tm, n=25):
 
 
 if __name__ == "__main__":
-    a = bench("canonical", False)
-    b = bench("time-minor", True)
-    print(f"speedup p50: {a / b:.3f}")
+    import sys
+    if "--i8-only" in sys.argv:
+        b = bench("time-minor", True)
+        c = bench("tm+i8direct", True, i8=True)
+        print(f"i8-direct speedup over tm p50: {b / c:.3f}")
+    else:
+        a = bench("canonical", False)
+        b = bench("time-minor", True)
+        c = bench("tm+i8direct", True, i8=True)
+        print(f"speedup p50 (tm): {a / b:.3f}; (tm+i8direct): {a / c:.3f}")
     print("AB DONE", flush=True)
