@@ -160,13 +160,14 @@ def _attn_full(lp, cfg, x, positions, mask):
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
     rep = H // Hkv
-    kx = jnp.repeat(k, rep, axis=1)
-    vx = jnp.repeat(v, rep, axis=1)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, kx) * (Dh**-0.5)
-    logits = logits + mask
+    # grouped GQA einsums: contract each kv head against its `rep` query
+    # heads directly instead of materializing a repeated K/V
+    qg = q.reshape(B, Hkv, rep, T, Dh)
+    logits = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k) * (Dh**-0.5)
+    logits = logits + mask[:, :, None]  # additive [B|1, 1, Tq, Tk] -> group bcast
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w, vx)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+    out = jnp.einsum("bgrqk,bgkd->bgrqd", w, v)
+    out = out.reshape(B, H, T, Dh).transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
     return L.linear(out, lp["o"]), k, v
 
 
@@ -232,13 +233,14 @@ def decode_step(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
         k = _apply_rope(k, cos, sin)
         k_c = jax.vmap(upd)(k_l, k, pos)
         v_c = jax.vmap(upd)(v_l, v, pos)
-        kx = jnp.repeat(k_c, rep, axis=1)  # [B, H, Tmax, Dh]
-        vx = jnp.repeat(v_c, rep, axis=1)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, kx) * (Dh**-0.5)
-        logits = jnp.where(valid, logits, L.NEG_INF)
+        # grouped GQA einsums: no repeated-cache materialization (see
+        # decode_step_ring)
+        qg = q.reshape(B, Hkv, rep, 1, Dh)
+        logits = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k_c) * (Dh**-0.5)
+        logits = jnp.where(valid[:, :, None], logits, L.NEG_INF)
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, vx)
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", w, v_c)
+        out = out.reshape(B, H, 1, Dh).transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
         x = x + L.linear(out, lp["o"])
         x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
         return x, (k_c, v_c)
@@ -262,7 +264,7 @@ def init_ring(cfg: QwenConfig, batch: int, k_steps: int, dtype):
 
 
 def decode_step_ring(params, cfg: QwenConfig, tokens, cache: QwenCache,
-                     ring_k, ring_v, pos0, pos, step_i):
+                     ring_k, ring_v, pos0, pos, step_i, unroll: int = 1):
     """One decode step writing K/V to the dispatch ring, not the cache.
 
     Same rationale as ``whisper.decode_step_ring``: the per-slot cache
@@ -293,27 +295,34 @@ def decode_step_ring(params, cfg: QwenConfig, tokens, cache: QwenCache,
         k = _apply_rope(k, cos, sin)  # [B, Hkv, 1, Dh]
         rk_l = jax.lax.dynamic_update_slice_in_dim(rk_l, k, step_i, axis=2)
         rv_l = jax.lax.dynamic_update_slice_in_dim(rv_l, v, step_i, axis=2)
-        kx = jnp.repeat(k_l, rep, axis=1)   # [B, H, Tmax, Dh]
-        vx = jnp.repeat(v_l, rep, axis=1)
-        rkx = jnp.repeat(rk_l, rep, axis=1)  # [B, H, K, Dh]
-        rvx = jnp.repeat(rv_l, rep, axis=1)
+        # GQA WITHOUT jnp.repeat: repeating the KV cache to H heads
+        # materializes a rep-times cache copy per layer per step (7x at
+        # 7B dims -- dominant decode traffic); grouped einsums read the
+        # [B, Hkv, T, Dh] cache directly, each kv head serving its `rep`
+        # query heads inside the contraction
+        qg = q.reshape(B, Hkv, rep, 1, Dh)
         scale = Dh**-0.5
-        big = jnp.where(valid, jnp.einsum("bhqd,bhkd->bhqk", q, kx) * scale,
+        big = jnp.where(valid[:, :, None],
+                        jnp.einsum("bgrqd,bgkd->bgrqk", qg, k_l) * scale,
                         L.NEG_INF)
-        ring = jnp.where(rvalid,
-                         jnp.einsum("bhqd,bhkd->bhqk", q, rkx) * scale,
+        ring = jnp.where(rvalid[:, :, None],
+                         jnp.einsum("bgrqd,bgkd->bgrqk", qg, rk_l) * scale,
                          L.NEG_INF)
         logits = jnp.concatenate([big, ring], axis=-1)
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = (jnp.einsum("bhqk,bhkd->bhqd", w[..., :Tmax], vx)
-               + jnp.einsum("bhqk,bhkd->bhqd", w[..., Tmax:], rvx))
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        out = (jnp.einsum("bgrqk,bgkd->bgrqd", w[..., :Tmax], v_l)
+               + jnp.einsum("bgrqk,bgkd->bgrqd", w[..., Tmax:], rv_l))
+        out = out.reshape(B, H, 1, Dh).transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
         x = x + L.linear(out, lp["o"])
         x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
         return x, (rk_l, rv_l)
 
+    # unroll=num_layers turns the per-layer dynamic weight slices into
+    # static ones (no slice-copy materialization; measured 1.31x on the
+    # isolated int8 matmul chain, PERF.md round 4)
     x, (rks, rvs) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v, ring_k, ring_v))
+        body, x, (params["layers"], cache.k, cache.v, ring_k, ring_v),
+        unroll=unroll)
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)[:, 0]
     head = params.get("lm_head")
     if head is None:
@@ -365,13 +374,14 @@ def verify_steps(params, cfg: QwenConfig, tokens, cache: QwenCache, pos):
         k = _apply_rope(k, cos, sin)
         k_c = jax.vmap(upd)(k_l, k, pos)
         v_c = jax.vmap(upd)(v_l, v, pos)
-        kx = jnp.repeat(k_c, rep, axis=1)
-        vx = jnp.repeat(v_c, rep, axis=1)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, kx) * (Dh**-0.5)
-        logits = jnp.where(valid, logits, L.NEG_INF)
+        # grouped GQA einsums: no repeated-cache materialization (see
+        # decode_step_ring)
+        qg = q.reshape(B, Hkv, rep, K, Dh)
+        logits = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k_c) * (Dh**-0.5)
+        logits = jnp.where(valid[:, :, None], logits, L.NEG_INF)
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, vx)
-        out = out.transpose(0, 2, 1, 3).reshape(B, K, H * Dh)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", w, v_c)
+        out = out.reshape(B, H, K, Dh).transpose(0, 2, 1, 3).reshape(B, K, H * Dh)
         x = x + L.linear(out, lp["o"])
         x = x + _mlp(lp, rms_norm(x, lp["ln2"], cfg.rms_norm_eps))
         return x, (k_c, v_c)

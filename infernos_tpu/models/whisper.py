@@ -326,7 +326,7 @@ def init_ring(cfg: WhisperConfig, batch: int, k_steps: int, dtype=jnp.float32,
 def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
                      ring_k, ring_v, pos0, pos, step_i,
                      enc_mask=None, time_minor: bool = False,
-                     cross_direct_int8: bool = False
+                     cross_direct_int8: bool = False, unroll: int = 1
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step that writes K/V to the dispatch ring, not the cache.
 
@@ -371,9 +371,12 @@ def decode_step_ring(params, cfg: WhisperConfig, tokens, cache: WhisperCache,
         h = L.linear(jax.nn.gelu(L.linear(h, lp["fc1"]), approximate=False), lp["fc2"])
         return x + h, (rk_l, rv_l)
 
+    # unroll=decoder_layers: static weight slices, no per-layer slice-copy
+    # (PERF.md round 4 scan-copy finding)
     x, (rk, rv) = jax.lax.scan(
         body, x, (params["dec_layers"], cache.self_k, cache.self_v,
-                  cache.cross_k, cache.cross_v, ring_k, ring_v))
+                  cache.cross_k, cache.cross_v, ring_k, ring_v),
+        unroll=unroll)
     x = L.layer_norm(x, params["dec_ln"])[:, 0]
     logits = jnp.einsum("bd,vd->bv", x, params["tok_embed"]["w"])
     return logits, rk, rv

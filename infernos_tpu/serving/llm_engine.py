@@ -56,6 +56,9 @@ class LLMEngineConfig:
     # Replaces steps_per_dispatch when enabled.
     spec_decode: bool = False
     spec_k: int = 8          # tokens per verify pass (draft = spec_k - 1)
+    # lax.scan unroll for the decode layer loop; 0 = full unroll
+    # (static weight slices, no slice-copy -- PERF.md round 4)
+    decode_unroll: int = 1
     spec_ngram: int = 3      # longest suffix n-gram to match for drafting
 
 
@@ -197,7 +200,8 @@ class LLMEngine:
             # the per-step full-cache scatter copy (qwen.decode_step_ring)
             logits, ring_k, ring_v = qwen.decode_step_ring(
                 params, self.cfg, cur_tok, cache, ring_k, ring_v, pos0,
-                pos, step_i)
+                pos, step_i,
+                unroll=self.ecfg.decode_unroll or self.cfg.num_layers)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # freeze a slot in-device once it emits EOS inside this window
             # (host-side finish still owns slot lifecycle)

@@ -94,8 +94,10 @@ class STTEngineConfig:
     # store every K/V cache time-minor ([L,B,H,Dh,T]): head_dim=64 as the
     # minor dim pads 64->128 lanes on TPU (2x HBM on every cache buffer +
     # per-consumer uncompress copies, PERF.md round 4); time-minor storage
-    # is compact and copy-free.  Numerics identical (tests/test_time_minor).
-    cache_time_minor: bool = False
+    # is compact and copy-free.  Numerics identical (tests/test_time_minor);
+    # hardware A/B at serving dims: 232 -> 90 ms per 8-step dispatch (2.6x),
+    # so this is the serving default.
+    cache_time_minor: bool = True
     # feed the int8 cross cache to the MXU directly (s8 x s8 dots, scales
     # folded outside the contractions, layers.cross_attention_step_i8):
     # removes the per-layer dequantized-K/V materialization that dominates
@@ -103,6 +105,10 @@ class STTEngineConfig:
     # Adds int8 rounding of q and of the scale-folded probs (~0.4% of row
     # max; greedy tokens unchanged on the tiny model, test_stt_engine).
     cross_int8_direct: bool = False
+    # lax.scan unroll factor for the decode layer loop; num_layers turns
+    # the per-layer dynamic weight slices static (no slice-copy, PERF.md
+    # round 4).  0 = full unroll.
+    decode_unroll: int = 1
     # decode steps per device dispatch (lax.scan): the AR feedback loop is
     # already in-device (done flags, frozen cur_tok), so chaining K steps
     # amortizes host dispatch latency K-fold -- the difference between
@@ -356,7 +362,8 @@ class STTEngine:
             logits, ring_k, ring_v = wsp.decode_step_ring(
                 params, self.cfg, cur_tok, cache, ring_k, ring_v, pos0,
                 pos, step_i, enc_mask=enc_mask, time_minor=tm,
-                cross_direct_int8=self.ecfg.cross_int8_direct)
+                cross_direct_int8=self.ecfg.cross_int8_direct,
+                unroll=self.ecfg.decode_unroll or self.cfg.decoder_layers)
             if sup_arr is not None:
                 logits = logits.at[:, sup_arr].set(L.NEG_INF)
             lf = logits.astype(jnp.float32)

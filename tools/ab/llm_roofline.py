@@ -42,7 +42,7 @@ def param_bytes(p):
                for x in jax.tree_util.tree_leaves(p))
 
 
-def bench(params, B, n=30):
+def bench(params, B, n=30, unroll=1):
     cache = qwen.init_cache(cfg, B, TMAX, DT)
     pos = jnp.asarray(np.random.RandomState(0).randint(256, 1024, size=B),
                       jnp.int32)
@@ -56,7 +56,8 @@ def bench(params, B, n=30):
         def one(carry, step_i):
             ring_k, ring_v, pos, tok, done = carry
             logits, ring_k, ring_v = qwen.decode_step_ring(
-                params, cfg, tok, cache, ring_k, ring_v, pos0, pos, step_i)
+                params, cfg, tok, cache, ring_k, ring_v, pos0, pos, step_i,
+                unroll=unroll)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             new_done = jnp.logical_or(done, nxt == cfg.eos_token_id)
             wpos = jnp.where(done, TMAX, pos)
@@ -96,7 +97,7 @@ def bench(params, B, n=30):
     kvbytes = 2 * cfg.num_layers * B * cfg.num_kv_heads * TMAX * \
         cfg.head_dim * 2
     ideal_ms = (wbytes + kvbytes) / 819e9 * 1e3  # v5e ~819 GB/s HBM
-    print(f"B={B:3d} K={K}: dispatch p50 {p50:7.2f} ms "
+    print(f"B={B:3d} K={K} unroll={unroll:2d}: dispatch p50 {p50:7.2f} ms "
           f"({per_step:5.2f} ms/step, {toks:7.1f} tok/s device) "
           f"weights {wbytes/1e9:.2f} GB + kv {kvbytes/1e9:.2f} GB "
           f"-> roofline {ideal_ms:.2f} ms/step "
@@ -107,6 +108,6 @@ def bench(params, B, n=30):
 
 if __name__ == "__main__":
     params = zeros_params()
-    for B in (16, 32):
-        bench(params, B)
+    bench(params, 16, unroll=1)
+    bench(params, 16, unroll=cfg.num_layers)
     print("AB DONE", flush=True)
