@@ -121,6 +121,14 @@ class FakePhone:
             [self.codec.decode(RTPPacket.parse(d).payload)
              for _, d in self.rx_packets])
 
+    def rx_audio_since(self, n_packets: int) -> np.ndarray:
+        """Decoded audio of packets received after the first ``n_packets``."""
+        pkts = self.rx_packets[n_packets:]
+        if not pkts:
+            return np.zeros(0, np.float32)
+        return np.concatenate(
+            [self.codec.decode(RTPPacket.parse(d).payload) for _, d in pkts])
+
     def hangup(self):
         asyncio.run_coroutine_threadsafe(self.uac.bye(), self.loop).result(10.0)
 
@@ -137,6 +145,8 @@ class FarEnd:
     def __init__(self, port: int = 15880):
         self.codec = G711Codec()
         self.rx_packets: List[Tuple[float, bytes]] = []
+        self.last_rtp_src = None  # framework media addr, learned from rx
+        self._streaming = False
         self.loop = asyncio.new_event_loop()
         self._ready = threading.Event()
         self.answered = threading.Event()
@@ -171,6 +181,7 @@ class FarEnd:
         try:
             RTPPacket.parse(data)
             self.rx_packets.append((time.monotonic(), data))
+            self.last_rtp_src = addr
         except Exception:
             pass
 
@@ -181,6 +192,40 @@ class FarEnd:
             [self.codec.decode(RTPPacket.parse(d).payload)
              for _, d in self.rx_packets])
 
+    def stream_bg(self, audio: np.ndarray, dest, then_silence: bool = True):
+        """Paced 20 ms G.711 stream toward ``dest`` (the framework media
+        address learned via ``last_rtp_src``); silence keeps the stream's
+        lseq continuous until :meth:`stop_streaming`."""
+        self._streaming = True
+        rs = RTPPacketizer(8000, 20)
+
+        def run():
+            i = 0
+            silence = np.zeros(160, np.float32)
+            next_t = time.monotonic()
+            while self._streaming:
+                if i + 160 <= len(audio):
+                    frame = audio[i : i + 160]
+                    i += 160
+                elif then_silence:
+                    frame = silence
+                else:
+                    break
+                self.rtp_sock.send_to(
+                    rs.next_pkt(160, 0, self.codec.encode(frame)), dest)
+                next_t += 0.02
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t
+
+    def stop_streaming(self):
+        self._streaming = False
+
     def close(self):
+        self._streaming = False
         self.rtp_sock.shutdown()
         self.loop.call_soon_threadsafe(self.loop.stop)
