@@ -110,6 +110,11 @@ class AIAActor(Actor):
         if sess:
             sess.tts_say_done()
 
+    def say_started(self, sess_id, token, fut) -> None:
+        sess = self._sess(sess_id)
+        if sess:
+            sess.say_started(token, fut)
+
     def sess_term(self, sess_id, hangup: bool = False) -> None:
         sess = self.sessions.pop(sess_id, None)
         if sess is None:

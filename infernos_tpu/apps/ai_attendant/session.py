@@ -36,6 +36,11 @@ INTERRUPTED = "<sentence interrupted>"
 SILENCE_FLUSH_S = 2.0
 
 
+class _PendingSay:
+    """Placeholder for ``saying`` while the tts_session_say ask is in
+    flight; the real say_id arrives via ``say_started``."""
+
+
 class AIASession:
     """One attendant call.  All methods run on the AIAActor mailbox."""
 
@@ -67,10 +72,16 @@ class AIASession:
         # -- state -------------------------------------------------------------
         self.text_buffer: List[str] = []
         self.say_queue: List[str] = []
-        self.saying: Optional[uuid_mod.UUID] = None
+        self.saying = None  # None | pending token | resolved say_id (UUID)
+        self._stop_on_start = None  # barge-in hit while the say_id was pending
         self.last_active = time.monotonic()
         self.flush_armed = False
         self.live_req_id: Optional[int] = None
+        # mirrors LLMSession._next_req (both start at 0; textin is the only
+        # incrementer), so textin can be fire-and-forget: blocking the actor
+        # mailbox on an ask_sync serializes every session behind one LLM
+        # round-trip (round-4 ramp wedge)
+        self._next_llm_req = 0
         self.closed = False
         # -- media wiring (callbacks hop to the actor mailbox) -----------------
         actor.rtp_actr.call(
@@ -113,8 +124,13 @@ class AIASession:
         """Caller spoke while we were talking (reference :133-138)."""
         self.say_queue.clear()
         if self.saying is not None:
-            self.actor.tts_actr.call("tts_session_stop_saying",
-                                     self.tts_sess_id, self.saying)
+            if isinstance(self.saying, _PendingSay):
+                # the say's id has not resolved yet: stop it the moment
+                # say_started delivers it
+                self._stop_on_start = self.saying
+            else:
+                self.actor.tts_actr.call("tts_session_stop_saying",
+                                         self.tts_sess_id, self.saying)
             self.saying = None
             self.actor.llm_actr.call("llm_session_context_add",
                                      self.llm_sess_id, INTERRUPTED, "user")
@@ -138,10 +154,12 @@ class AIASession:
             return
         utterance = " ".join(self.text_buffer)
         self.text_buffer.clear()
-        req_id = self.actor.llm_actr.ask_sync(
+        # fire-and-forget; the req id is mirrored locally (see __init__)
+        self.live_req_id = self._next_llm_req
+        self._next_llm_req += 1
+        self.actor.llm_actr.call(
             "llm_session_textin", self.llm_sess_id, utterance,
             lambda r: self.actor.handle.call("text_out", self.id, r))
-        self.live_req_id = req_id
 
     # -- LLM results ----------------------------------------------------------------
     def text_out(self, r) -> None:
@@ -158,14 +176,42 @@ class AIASession:
         self._pump_say()
 
     def _pump_say(self) -> None:
+        """Start the next queued utterance WITHOUT blocking the actor mailbox
+        (see LTSession._pump_say); the say_id resolves via ``say_started``."""
         if self.saying is not None or not self.say_queue:
             return
         text = self.say_queue.pop(0)
-        self.saying = self.actor.tts_actr.ask_sync(
+        token = _PendingSay()
+        self.saying = token
+        fut = self.actor.tts_actr.ask(
             "tts_session_say", self.tts_sess_id,
             TTSRequest(text, speaker_id=self.speaker_id,
                        done_cb=lambda: self.actor.handle.call(
                            "tts_say_done", self.id)))
+        fut.add_done_callback(
+            lambda f, tok=token: self.actor.handle.call(
+                "say_started", self.id, tok, f))
+
+    def say_started(self, token, fut) -> None:
+        if self.closed:
+            return
+        if token is self._stop_on_start:  # barge-in beat the resolution
+            self._stop_on_start = None
+            try:
+                say_id = fut.result()
+            except Exception:
+                return
+            self.actor.tts_actr.call("tts_session_stop_saying",
+                                     self.tts_sess_id, say_id)
+            return
+        if self.saying is not token:
+            return  # say already finished (done_cb won the race) or reset
+        try:
+            self.saying = fut.result()
+        except Exception:
+            log.exception("AIASession %s: tts say failed; skipping", self.id)
+            self.saying = None
+            self._pump_say()
 
     def tts_say_done(self) -> None:
         if self.closed:

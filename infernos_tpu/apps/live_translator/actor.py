@@ -114,6 +114,11 @@ class LTActor(Actor):
         if sess:
             sess.tts_say_done(dname)
 
+    def say_started(self, sess_id, dname, token, fut) -> None:
+        sess = self._sess(sess_id)
+        if sess:
+            sess.say_started(dname, token, fut)
+
     def sess_term(self, sess_id) -> None:
         sess = self.sessions.pop(sess_id, None)
         if sess is None:

@@ -152,14 +152,38 @@ class LTSession:
         self._pump_say(d)
 
     def _pump_say(self, d: _Direction) -> None:
+        """Start the next queued utterance WITHOUT blocking the actor
+        mailbox: a synchronous ask here serializes every session's say
+        behind one TTS-actor round-trip, and one slow ask (busy engine)
+        cascades into 30 s-per-message app wedges (round-4 ramp).  The ask
+        resolves via a ``say_started`` hop back onto this actor's mailbox."""
         if d.saying is not None or not d.say_queue:
             return
         text = d.say_queue.pop(0)
-        d.saying = d.tts_actr.ask_sync(
+        token = object()  # placeholder until the say_id resolves
+        d.saying = token
+        fut = d.tts_actr.ask(
             "tts_session_say", d.tts_sess_id,
             TTSRequest(text, speaker_id=d.speaker_id,
                        done_cb=lambda dn=d.name: self.actor.handle.call(
                            "tts_say_done", self.id, dn)))
+        fut.add_done_callback(
+            lambda f, dn=d.name, tok=token: self.actor.handle.call(
+                "say_started", self.id, dn, tok, f))
+
+    def say_started(self, dname: str, token, fut) -> None:
+        if self.closed:
+            return
+        d = self.dirs[dname]
+        if d.saying is not token:
+            return  # say already finished (done_cb won the race) or reset
+        try:
+            d.saying = fut.result()
+        except Exception:
+            log.exception("LTSession %s: tts say failed; skipping utterance",
+                          self.id)
+            d.saying = None
+            self._pump_say(d)
 
     def tts_say_done(self, dname: str) -> None:
         if self.closed:

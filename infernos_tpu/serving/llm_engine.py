@@ -60,6 +60,14 @@ class LLMEngineConfig:
     # (static weight slices, no slice-copy -- PERF.md round 4)
     decode_unroll: int = 1
     spec_ngram: int = 3      # longest suffix n-gram to match for drafting
+    # decode dispatches kept in flight before the oldest is harvested.
+    # 1 = classic one-step software pipeline (harvest N-1 after
+    # dispatching N).  Deeper pipelines hide the host->device fetch RTT
+    # (large over the axon tunnel) at the cost of EOS detection lagging
+    # max_inflight*K tokens (bounded junk decode on finished slots; the
+    # cache scatter clamps, harvest caps emission -- outputs unchanged).
+    # Ignored in spec mode, which must harvest before drafting.
+    max_inflight: int = 1
 
 
 @dataclasses.dataclass
@@ -144,11 +152,18 @@ class LLMEngine:
         self.cur_tok = jnp.zeros((B,), jnp.int32)
         self.done = jnp.ones((B,), bool)
         self.slots: List[Optional[_Slot]] = [None] * B
+        # engine-state lock: held by the DRIVER thread for whole steps.
+        # Submitter paths must never wait on it (unfair locks starve actor
+        # mailboxes behind a saturated driver -- round-4 ramp wedge); they
+        # go through _sub_lock only.
         self._lock = threading.RLock()
-        self._inflight = None  # one-step pipelined harvest buffers
         from collections import deque
 
-        self._pending = deque()  # requests waiting for a free slot
+        # pipelined (bufs, slot-snapshot) pairs not yet harvested, oldest
+        # first; at most ecfg.max_inflight entries after each step()
+        self._inflight = deque()
+        self._sub_lock = threading.Lock()  # guards _pending only
+        self._pending = deque()  # requests waiting to join (driver flushes)
 
         # params flow as jit ARGUMENTS (not closure captures): captured
         # concrete arrays are baked into each executable as constants --
@@ -300,10 +315,11 @@ class LLMEngine:
         a final sentence are never stranded."""
         with self._lock:
             victims = [s for s in self.slots if s is not None]
-            pend = list(self._pending)
-            self._pending.clear()
+            with self._sub_lock:
+                pend = list(self._pending)
+                self._pending.clear()
             self.slots = [None] * self.ecfg.batch_slots
-            self._inflight = None
+            self._inflight.clear()
             self.done = jnp.ones_like(self.done)
         log.warning("llm engine abort (%s): flushing %d live + %d queued",
                     reason, len(victims), len(pend))
@@ -319,12 +335,37 @@ class LLMEngine:
                 log.exception("llm abort flush failed (queued)")
 
     def submit(self, req: LLMRequest) -> int:
-        """Prefill + join (queued if slots are full; -1 when queued)."""
-        with self._lock:
-            if not self.free_slots():
-                self._pending.append(req)
-                return -1
-            return self._submit_locked(req)
+        """Queue one request; the DRIVER thread prefills + joins it at its
+        next step.  Returns -1 (queued).  Never touches the engine-state
+        lock: prefill is a device dispatch plus a blocking fetch, and doing
+        it on the caller's thread behind an unfair lock starves actor
+        mailboxes whenever the driver is saturated (round-4 ramp wedge)."""
+        with self._sub_lock:
+            self._pending.append(req)
+        return -1
+
+    def _flush_pending_locked(self, max_joins: int = 4) -> None:
+        """Join queued requests into free slots (driver thread, under _lock);
+        capped per step so prefills interleave with decode dispatches."""
+        joined = 0
+        while joined < max_joins and self.free_slots():
+            with self._sub_lock:
+                if not self._pending:
+                    return
+                req = self._pending.popleft()
+            # per-item isolation: a poisoned request finishes alone (empty
+            # stream) instead of crashing the step for every slot
+            # (reference per-item retry, Cluster/InfernSTTWorker.py:66-72)
+            try:
+                self._submit_locked(req)
+                joined += 1
+            except Exception:
+                log.exception("llm: quarantining poisoned queued request")
+                metrics.inc("llm.poisoned_requests")
+                try:
+                    _SentenceStreamer(self.detokenize, req.sentence_cb).finish()
+                except Exception:
+                    log.exception("llm poison EOS callback failed")
 
     def _submit_locked(self, req: LLMRequest) -> int:
         free = self.free_slots()
@@ -357,23 +398,22 @@ class LLMEngine:
             return self._step_locked()
 
     def _step_locked(self) -> bool:
+        self._flush_pending_locked()
         if self.n_active == 0:
-            if self._inflight is not None:
-                self._harvest(*self._inflight)
-                self._inflight = None
-                return self.n_active > 0
-            return False
+            if self._inflight:
+                self._harvest(*self._inflight.popleft())
+                return self.n_active > 0 or bool(self._pending)
+            return bool(self._pending)
         if self.ecfg.spec_decode:
-            # harvest the in-flight dispatch FIRST: drafts built from
+            # harvest the in-flight dispatches FIRST: drafts built from
             # streamer tokens that lag the device by one dispatch never
             # end at the device's actual cur_tok, so acceptance collapses
             # to ~0 (ADVICE r3).  Spec mode trades the one-step pipeline
             # overlap for drafts anchored at the true suffix.
-            if self._inflight is not None:
-                self._harvest(*self._inflight)
-                self._inflight = None
-                if self.n_active == 0:
-                    return False
+            while self._inflight:
+                self._harvest(*self._inflight.popleft())
+            if self.n_active == 0:
+                return bool(self._pending)
             draft = np.zeros((self.ecfg.batch_slots, self.ecfg.spec_k - 1),
                              np.int32)
             for i, s in enumerate(self.slots):
@@ -387,13 +427,12 @@ class LLMEngine:
             (self.cache, self.pos, self.cur_tok, nxt) = self._step_fn(
                 self.params, self.cache, self.pos, self.cur_tok, self.done)
             bufs = nxt
-        # one-step software pipeline: dispatch N, harvest N-1 while the
+        # software pipeline: dispatch N, harvest N-max_inflight while the
         # device computes (AR feedback is in-device; the fetch is
-        # bookkeeping only)
-        prev = self._inflight
-        self._inflight = (bufs, list(self.slots))
-        if prev is not None:
-            self._harvest(*prev)
+        # bookkeeping only).  Depth 1 = the classic one-step overlap.
+        self._inflight.append((bufs, list(self.slots)))
+        while len(self._inflight) > max(1, self.ecfg.max_inflight):
+            self._harvest(*self._inflight.popleft())
         return True
 
     def _harvest(self, bufs, snapshot) -> None:
@@ -430,21 +469,8 @@ class LLMEngine:
 
     def _finish(self, slot: int, s: _Slot) -> None:
         self.slots[slot] = None
-        # per-item isolation: a poisoned queued request finishes alone
-        # (empty stream) instead of crashing the step for every slot
-        # (reference per-item retry, Cluster/InfernSTTWorker.py:66-72)
-        while self._pending:
-            nxt = self._pending.popleft()
-            try:
-                self._submit_locked(nxt)
-                break
-            except Exception:
-                log.exception("llm: quarantining poisoned queued request")
-                metrics.inc("llm.poisoned_requests")
-                try:
-                    _SentenceStreamer(self.detokenize, nxt.sentence_cb).finish()
-                except Exception:
-                    log.exception("llm poison EOS callback failed")
+        # backfill the freed slot immediately (driver thread, one join)
+        self._flush_pending_locked(max_joins=1)
         metrics.observe("llm.gen_time", time.monotonic() - s.req.stime)
         metrics.inc("llm.tokens", s.new_tokens)
         s.streamer.finish()

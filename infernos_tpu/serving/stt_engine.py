@@ -221,11 +221,16 @@ class STTEngine:
         self.temp = jnp.zeros((B,), jnp.float32)   # 0 = greedy
         self._seed = np.uint32(0)
         self.slots: List[Optional[_Slot]] = [None] * B
+        # engine-state lock: held by the DRIVER thread for whole steps.
+        # Submitter paths must never wait on it (unfair locks starve actor
+        # mailboxes behind a saturated driver -- round-4 ramp wedge); they
+        # go through _sub_lock only.
         self._lock = threading.RLock()
         self._inflight = None  # one-step pipelined harvest buffers
         from collections import deque
 
-        self._pending = deque()  # requests waiting for a free slot
+        self._sub_lock = threading.Lock()  # guards _pending only
+        self._pending = deque()  # requests waiting to join (driver flushes)
 
         # params flow as jit arguments (closure-captured arrays are baked
         # into executables as constants -- fatal at whisper-large scale)
@@ -464,8 +469,9 @@ class STTEngine:
         starts clean."""
         with self._lock:
             victims = [(s.req, s.t_start) for s in self.slots if s is not None]
-            victims += [(r, time.monotonic()) for r in self._pending]
-            self._pending.clear()
+            with self._sub_lock:
+                victims += [(r, time.monotonic()) for r in self._pending]
+                self._pending.clear()
             self.slots = [None] * self.ecfg.batch_slots
             self._inflight = None
             self.cache = wsp.init_cache(self.cfg, self.ecfg.batch_slots,
@@ -491,16 +497,45 @@ class STTEngine:
                 log.exception("stt abort flush callback failed")
 
     def submit(self, req: STTRequest) -> int:
-        """Encode + prefill + join one utterance (queued if slots are full).
+        """Queue one utterance; the DRIVER thread encodes + prefills + joins
+        it at its next step (deferred, like TTS joins).
 
-        Returns the slot index, or -1 if queued (the reference's worker
-        queues whole requests the same way, Cluster/InfernBatchedWorker.py).
+        Returns -1 (queued; the reference's worker queues whole requests the
+        same way, Cluster/InfernBatchedWorker.py).  Never touches the
+        engine-state lock: the prefill is a device dispatch plus a blocking
+        fetch, and doing it on the caller's thread behind an unfair lock
+        starved actor mailboxes whenever the driver was saturated (round-4
+        ramp wedge, PERF.md).
         """
-        with self._lock:
-            if not self.free_slots():
-                self._pending.append(req)
-                return -1
-            return self._submit_locked(req)
+        with self._sub_lock:
+            self._pending.append(req)
+        return -1
+
+    def _flush_pending_locked(self, max_joins: int = 4) -> None:
+        """Join queued requests into free slots (driver thread, under _lock);
+        at most ``max_joins`` prefills per step so joins interleave with
+        decode ticks for already-running slots."""
+        joined = 0
+        while joined < max_joins and self.free_slots():
+            with self._sub_lock:
+                if not self._pending:
+                    return
+                req = self._pending.popleft()
+            # per-item isolation (reference OOM->per-item retry,
+            # Cluster/InfernSTTWorker.py:66-72): a poisoned request fails
+            # alone with an empty result
+            try:
+                self._submit_locked(req)
+                joined += 1
+            except Exception:
+                log.exception("stt: quarantining poisoned queued request")
+                metrics.inc("stt.poisoned_requests")
+                eres = STTResult(tokens=[], no_speech_prob=1.0,
+                                 duration=0.0, inf_time=0.0, text="")
+                try:
+                    req.text_cb(eres)
+                except Exception:
+                    log.exception("stt poison result callback failed")
 
     def _submit_locked(self, req: STTRequest) -> int:
         free = self.free_slots()
@@ -542,12 +577,13 @@ class STTEngine:
             return self._step_locked()
 
     def _step_locked(self) -> bool:
+        self._flush_pending_locked()
         if self.n_active == 0:
             if self._inflight is not None:
                 self._harvest(*self._inflight)
                 self._inflight = None
-                return self.n_active > 0
-            return False
+                return self.n_active > 0 or bool(self._pending)
+            return bool(self._pending)
         self._seed = np.uint32(self._seed + 1)
         (self.cache, self.pos, self.cur_tok, self.done, self.logp, nxts,
          dones) = self._step_fn(self.params, self.cache, self.enc_mask,
@@ -704,25 +740,10 @@ class STTEngine:
             metrics.inc("stt.fallback_retries")
             log.info("stt fallback: avg_logprob %.2f cr %.2f -> retry @ T=%.1f",
                      res.avg_logprob, res.compression_ratio, req.temperature)
-            self._pending.appendleft(req)
-        # per-item isolation (reference OOM->per-item retry,
-        # Cluster/InfernSTTWorker.py:66-72): a poisoned queued request fails
-        # alone with an empty result instead of crashing the step and
-        # aborting every concurrent utterance
-        while self._pending:
-            nxt = self._pending.popleft()
-            try:
-                self._submit_locked(nxt)
-                break
-            except Exception:
-                log.exception("stt: quarantining poisoned queued request")
-                metrics.inc("stt.poisoned_requests")
-                eres = STTResult(tokens=[], no_speech_prob=1.0,
-                                 duration=0.0, inf_time=0.0, text="")
-                try:
-                    nxt.text_cb(eres)
-                except Exception:
-                    log.exception("stt poison result callback failed")
+            with self._sub_lock:
+                self._pending.appendleft(req)
+        # backfill the freed slot immediately (driver thread, one join)
+        self._flush_pending_locked(max_joins=1)
         if retry:
             return
         metrics.observe("stt.inf_time", res.inf_time)

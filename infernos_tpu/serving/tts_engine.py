@@ -127,8 +127,12 @@ class TTSEngine:
                 lambda x: x.astype(ecfg.dtype), amd_params)
         self.amd_params = amd_params
         B = ecfg.batch_slots
-        # serializes engine-state mutation between the driver thread (step)
-        # and submitter threads (start_session/cancel)
+        # serializes engine-state mutation; held by the DRIVER thread for
+        # whole ticks.  Submitter-facing paths must never wait on it: a
+        # saturated engine holds it near-continuously (threading locks are
+        # unfair), which starved actor mailboxes for minutes in the round-4
+        # ramp (ltbench level 8: tts_session_say asks timing out behind a
+        # busy driver).  Submissions go through ``_sub_lock`` only.
         self._lock = threading.RLock()
         self.state = self._init_state()
         self.sessions: List[Optional[_Session]] = [None] * B
@@ -138,6 +142,7 @@ class TTSEngine:
         self._last_dispatch_t: Optional[float] = None
         from collections import deque
 
+        self._sub_lock = threading.Lock()  # guards _pending + _next_sid only
         self._pending = deque()  # sessions waiting for a free slot
         self._async = ecfg.async_harvest
         if self._async:
@@ -426,8 +431,12 @@ class TTSEngine:
         Joins are deferred to the next ``step()`` and batched (up to 8
         encodes per dispatch) -- at call-churn rates per-join dispatches
         would serialize with decode ticks and dominate TTFB.
+
+        Never touches the engine-state lock: callers (actor mailboxes, and
+        say-chain callbacks running on the driver thread itself) must not
+        queue behind a busy driver.
         """
-        with self._lock:
+        with self._sub_lock:
             sid = self._next_sid
             self._next_sid += 1
             self._pending.append((sid, input_ids, speaker_emb, callback,
@@ -438,11 +447,12 @@ class TTSEngine:
         """Join as many queued sessions as free slots allow, in one
         bucketed-batch dispatch (padding duplicates the last entry)."""
         free = self.free_slots()
-        n = min(len(self._pending), len(free), 8)
-        if n == 0:
-            return
+        with self._sub_lock:
+            n = min(len(self._pending), len(free), 8)
+            if n == 0:
+                return
+            entries = [self._pending.popleft() for _ in range(n)]
         S = self.ecfg.max_text_tokens
-        entries = [self._pending.popleft() for _ in range(n)]
         # per-item isolation (reference OOM->per-item retry,
         # Cluster/InfernSTTWorker.py:66-72): a poisoned request (bad
         # ids/speaker shape) gets EOS alone instead of crashing the step
@@ -503,8 +513,9 @@ class TTSEngine:
         a dead worker silently strands its sessions)."""
         with self._lock:
             victims = [s for s in self.sessions if s is not None]
-            pend = list(self._pending)
-            self._pending.clear()
+            with self._sub_lock:
+                pend = list(self._pending)
+                self._pending.clear()
             self.sessions = [None] * self.ecfg.batch_slots
             self._inflight = None
             self._last_dispatch_t = None
@@ -525,12 +536,16 @@ class TTSEngine:
 
     def cancel_session(self, sid: int) -> None:
         """Barge-in: stop generating for this session (slot mask, no recompile;
-        reference does this with a Python flag, ``Cluster/TTSSession.py:62-68``)."""
-        with self._lock:
-            for s in self.sessions:
-                if s is not None and s.sid == sid:
-                    s.cancelled = True
-                    return
+        reference does this with a Python flag, ``Cluster/TTSSession.py:62-68``).
+
+        Lock-free flag set on the live path (a single attribute store; the
+        worst race is one extra tick of audio the harvest then drops), so a
+        busy driver can never block a barge-in."""
+        for s in list(self.sessions):
+            if s is not None and s.sid == sid:
+                s.cancelled = True
+                return
+        with self._sub_lock:
             for item in list(self._pending):
                 if item[0] == sid:
                     self._pending.remove(item)
@@ -548,11 +563,12 @@ class TTSEngine:
         self._set_paused(sid, False)
 
     def _set_paused(self, sid: int, value: bool) -> None:
-        with self._lock:
-            for s in self.sessions:
-                if s is not None and s.sid == sid:
-                    s.paused = value
-                    return
+        # lock-free flag flip (same rationale as cancel_session): flow
+        # control must not queue behind the driver it is throttling
+        for s in list(self.sessions):
+            if s is not None and s.sid == sid:
+                s.paused = value
+                return
 
     @property
     def n_active(self) -> int:
@@ -570,12 +586,16 @@ class TTSEngine:
         # the inflight budget OUTSIDE the lock (the harvest thread needs the
         # lock to release it).
         acquired = self._sem.acquire(timeout=1.0)
+        if not acquired:
+            # pipeline full for a whole second (slow fetch): do NOT dispatch
+            # past the inflight budget; in-flight ticks imply pending work
+            return True
         item = None
         try:
             with self._lock:
                 item = self._dispatch_locked()
         finally:
-            if item is None and acquired:
+            if item is None:
                 self._sem.release()
         if item is None:
             # nothing runnable: wait for in-flight ticks to drain so EOS

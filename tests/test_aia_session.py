@@ -40,6 +40,20 @@ class StubHandle:
             return getattr(self.target, method)(*a, **kw)
         return None
 
+    def ask(self, method, *a, **kw):
+        from concurrent.futures import Future
+
+        self.calls.append((method, a, kw))
+        fut = Future()
+        if self.target is not None:
+            try:
+                fut.set_result(getattr(self.target, method)(*a, **kw))
+            except Exception as e:  # noqa: BLE001 - mirror actor mailbox
+                fut.set_exception(e)
+        else:
+            fut.set_result(None)
+        return fut
+
 
 class StubModelActor:
     def __init__(self):
@@ -133,6 +147,9 @@ class StubActor:
 
     def tts_say_done(self, sid):
         self.sess.tts_say_done()
+
+    def say_started(self, sid, token, fut):
+        self.sess.say_started(token, fut)
 
     def audio_in(self, sid, chunk):
         self.sess.audio_in(chunk)

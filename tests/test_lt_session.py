@@ -28,6 +28,20 @@ class StubHandle:
             return getattr(self.target, method)(*a, **kw)
         return None
 
+    def ask(self, method, *a, **kw):
+        from concurrent.futures import Future
+
+        self.calls.append((method, a))
+        fut = Future()
+        if self.target is not None:
+            try:
+                fut.set_result(getattr(self.target, method)(*a, **kw))
+            except Exception as e:  # noqa: BLE001 - mirror actor mailbox
+                fut.set_exception(e)
+        else:
+            fut.set_result(None)
+        return fut
+
 
 class StubModel:
     def __init__(self):
@@ -111,6 +125,9 @@ class StubActor:
 
     def tts_say_done(self, sid, dn):
         self.sess.tts_say_done(dn)
+
+    def say_started(self, sid, dn, token, fut):
+        self.sess.say_started(dn, token, fut)
 
     def sess_term(self, sid):
         self.sess.term()

@@ -69,6 +69,7 @@ def test_concurrent_mixed_buckets(engine):
                              text_cb=lambda r: results.setdefault("short", r)))
     engine.submit(STTRequest(audio=_audio(1.7, 2), lang="pt", mode="translate",
                              text_cb=lambda r: results.setdefault("long", r)))
+    engine.step()  # submits are deferred; the first step joins them
     assert engine.n_active == 2
     while engine.step():
         pass
@@ -102,10 +103,8 @@ def test_slots_exhausted_queues(engine):
     """A 5th request beyond the 4 slots queues and completes later."""
     outs = []
     for i in range(4):
-        assert engine.submit(STTRequest(audio=_audio(0.2, i),
-                                        text_cb=outs.append)) >= 0
-    assert engine.submit(STTRequest(audio=_audio(0.2),
-                                    text_cb=outs.append)) == -1
+        engine.submit(STTRequest(audio=_audio(0.2, i), text_cb=outs.append))
+    engine.submit(STTRequest(audio=_audio(0.2), text_cb=outs.append))
     while engine.step():
         pass
     assert len(outs) == 5  # the queued one ran once a slot freed

@@ -35,6 +35,7 @@ def test_routes_by_length_and_decodes_both(eng):
     out = []
     eng.submit(STTRequest(audio=_audio(0.5, 1), text_cb=out.append))   # short
     eng.submit(STTRequest(audio=_audio(1.7, 2), text_cb=out.append))   # long
+    eng.step()  # submits are deferred; the first step joins them
     assert eng.short.n_active == 1 and eng.long.n_active == 1
     while eng.step():
         pass

@@ -23,7 +23,6 @@ cfg = qwen.QwenConfig(
     num_kv_heads=4, head_dim=128, intermediate_size=18944,
     max_positions=4096, eos_token_id=151645)
 DT = jnp.bfloat16
-TMAX = 2048
 K = 16
 
 
@@ -42,7 +41,7 @@ def param_bytes(p):
                for x in jax.tree_util.tree_leaves(p))
 
 
-def bench(params, B, n=30, unroll=1):
+def bench(params, B, n=30, unroll=1, TMAX=2048):
     cache = qwen.init_cache(cfg, B, TMAX, DT)
     pos = jnp.asarray(np.random.RandomState(0).randint(256, 1024, size=B),
                       jnp.int32)
@@ -97,7 +96,8 @@ def bench(params, B, n=30, unroll=1):
     kvbytes = 2 * cfg.num_layers * B * cfg.num_kv_heads * TMAX * \
         cfg.head_dim * 2
     ideal_ms = (wbytes + kvbytes) / 819e9 * 1e3  # v5e ~819 GB/s HBM
-    print(f"B={B:3d} K={K} unroll={unroll:2d}: dispatch p50 {p50:7.2f} ms "
+    print(f"B={B:3d} K={K} Tmax={TMAX} unroll={unroll:2d}: "
+          f"dispatch p50 {p50:7.2f} ms "
           f"({per_step:5.2f} ms/step, {toks:7.1f} tok/s device) "
           f"weights {wbytes/1e9:.2f} GB + kv {kvbytes/1e9:.2f} GB "
           f"-> roofline {ideal_ms:.2f} ms/step "
@@ -107,7 +107,18 @@ def bench(params, B, n=30, unroll=1):
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", default="16", help="comma list of batch sizes")
+    ap.add_argument("--tmax", type=int, default=2048)
+    ap.add_argument("--unroll", default="1,full",
+                    help="comma list; 'full' = num_layers")
+    args = ap.parse_args()
     params = zeros_params()
-    bench(params, 16, unroll=1)
-    bench(params, 16, unroll=cfg.num_layers)
+    unrolls = [cfg.num_layers if u == "full" else int(u)
+               for u in args.unroll.split(",")]
+    for B in map(int, args.b.split(",")):
+        for u in unrolls:
+            bench(params, B, unroll=u, TMAX=args.tmax)
     print("AB DONE", flush=True)
