@@ -80,8 +80,10 @@ def load_tiny_stt():
         max_prompt_tokens=16,
         context_tokens=10,
         lang_tokens={"en": specials["<|lang_en|>"],
-                     # no other languages trained: route all to en
-                     "pt": specials["<|lang_en|>"]},
+                     # language-conditioned checkpoints (round 4+) carry a
+                     # true pt token; older en-only ones route pt -> en
+                     "pt": specials.get("<|lang_pt|>",
+                                        specials["<|lang_en|>"])},
         task_transcribe=specials["<|transcribe|>"],
         task_translate=specials["<|transcribe|>"],  # translate untrained
         no_timestamps=specials["<|notimestamps|>"],

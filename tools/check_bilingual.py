@@ -60,7 +60,7 @@ def main() -> int:
             eng.submit(STTRequest(
                 audio=audio,
                 text_cb=(lambda i: lambda r: out.__setitem__(i, r))(i),
-                lang="en"))
+                lang=side))
         for _ in range(200):
             if not eng.step():
                 break
@@ -104,7 +104,7 @@ def main() -> int:
             got = {}
             eng.submit(STTRequest(
                 audio=audio, text_cb=lambda r: got.__setitem__(0, r),
-                lang="en"))
+                lang="pt"))
             for _ in range(100):
                 if not eng.step():
                     break

@@ -165,17 +165,33 @@ def _pt_words():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from infernos_tpu.t2t.lexicon import EN_PT
 
-    return [EN_PT[w] for w in EN_WORDS if w in EN_PT and EN_PT[w] not in EN_WORDS]
+    # full pt side (what the LT pt leg can actually say), and the subset
+    # not already in EN_WORDS (identity translations like "zero") for the
+    # deduplicated mixed corpus
+    full = [EN_PT[w] for w in EN_WORDS if w in EN_PT]
+    new = [w for w in full if w not in EN_WORDS]
+    return full, new
 
 
-WORDS = EN_WORDS + _pt_words()
+PT_WORDS, _PT_NEW = _pt_words()
+WORDS = EN_WORDS + _PT_NEW
+
+_LANG_VOCABS = {None: None, "en": EN_WORDS, "pt": PT_WORDS}
 
 
 def make_utterance(rng: np.random.Generator, n_words: Tuple[int, int] = (2, 6),
                    spk: Optional[Speaker] = None,
-                   words: Optional[List[str]] = None) -> Tuple[np.ndarray, str]:
-    """Random utterance -> (16 kHz audio, transcript)."""
-    vocab = WORDS if words is None else words
+                   words: Optional[List[str]] = None,
+                   lang: Optional[str] = None) -> Tuple[np.ndarray, str]:
+    """Random utterance -> (16 kHz audio, transcript).
+
+    ``lang`` picks a language-pure vocabulary ('en'/'pt'; None = the full
+    mixed corpus) -- used by the language-conditioned STT training
+    (whisper's per-language token design, the real model's
+    ``<|en|>``/``<|pt|>``)."""
+    vocab = words if words is not None else _LANG_VOCABS[lang]
+    if vocab is None:
+        vocab = WORDS
     k = int(rng.integers(n_words[0], n_words[1] + 1))
     picked = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(k)]
     text = " ".join(picked)

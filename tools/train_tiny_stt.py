@@ -51,12 +51,21 @@ MAX_TGT = 48
 
 # token layout: BPE merges first, then specials appended by train_bpe.
 # The SERVING prompt format (stt_engine._build_prompt) is trained exactly:
-# [<|startofprev|> ctx...] <|sot|> <|lang_en|> <|transcribe|> <|nots|>,
+# [<|startofprev|> ctx...] <|sot|> <|lang_XX|> <|transcribe|> <|nots|>,
 # nospeech supervised at the sot position on silence examples (whisper
 # semantics in miniature) so engine ns_prob and rolling context work.
+#
+# Language conditioning (round 4): the corpus is bilingual with confusable
+# cognate pairs (for/por, ...); an unconditioned decoder snaps en words to
+# their pt spellings ~30% of the time (check_bilingual en-side 68.75%,
+# /tmp/q4_bilingual.log).  Real whisper solves this with per-language
+# tokens (<|en|>/<|pt|>) and the LT legs KNOW their language
+# (reference Cluster/InfernSTTWorker.py language arg), so training tags
+# language-pure utterances with the matching lang token; a 10% code-mixed
+# slice (random tag) keeps off-language words from collapsing entirely.
 SPECIALS = ["<|sot|>", "<|eos|>", "<|nospeech|>", "<|pad|>",
             "<|lang_en|>", "<|transcribe|>", "<|notimestamps|>",
-            "<|startofprev|>"]
+            "<|startofprev|>", "<|lang_pt|>"]
 
 
 def build_tokenizer() -> ByteLevelBPE:
@@ -80,14 +89,14 @@ def tiny_config(tok: ByteLevelBPE) -> wsp.WhisperConfig:
         no_speech_token_id=tok.special["<|nospeech|>"])
 
 
-def serving_prompt(tok: ByteLevelBPE, ctx=None):
-    """Exactly stt_engine._build_prompt's layout for lang=en/transcribe."""
+def serving_prompt(tok: ByteLevelBPE, ctx=None, lang: str = "en"):
+    """Exactly stt_engine._build_prompt's layout for transcribe mode."""
     sp = tok.special
     prompt = []
     if ctx:
         prompt = [sp["<|startofprev|>"]] + list(ctx)
-    return prompt + [sp["<|sot|>"], sp["<|lang_en|>"], sp["<|transcribe|>"],
-                     sp["<|notimestamps|>"]]
+    return prompt + [sp["<|sot|>"], sp[f"<|lang_{lang}|>"],
+                     sp["<|transcribe|>"], sp["<|notimestamps|>"]]
 
 
 def _noise(rng: np.random.Generator, seconds: float) -> np.ndarray:
@@ -122,6 +131,11 @@ def make_example(rng: np.random.Generator, tok: ByteLevelBPE):
     """(mel [M, T], ids, sot_idx, is_silence)."""
     sp = tok.special
     is_silence = rng.random() < 0.08
+    # language conditioning: 45% pure-en, 45% pure-pt (tagged truthfully),
+    # 10% code-mixed with a random tag (prior robustness, see SPECIALS note)
+    r = rng.random()
+    lang = "en" if r < 0.45 else ("pt" if r < 0.9 else None)
+    tag = lang or ("en" if rng.random() < 0.5 else "pt")
     ctx = None
     if not is_silence and rng.random() < 0.2:
         # rolling-context examples: a previous transcript prefixes the
@@ -132,8 +146,8 @@ def make_example(rng: np.random.Generator, tok: ByteLevelBPE):
         if is_silence:
             audio, text = _noise(rng, float(rng.uniform(0.5, 3.0))), ""
         else:
-            audio, text = make_utterance(rng, n_words=(1, 4))
-        prompt = serving_prompt(tok, ctx)
+            audio, text = make_utterance(rng, n_words=(1, 4), lang=lang)
+        prompt = serving_prompt(tok, ctx, lang=tag)
         ids = prompt + tok.encode(text) + [sp["<|eos|>"]]
         if (len(audio) <= int(MAX_SECONDS * SR) - 320
                 and len(ids) <= MAX_TGT):
@@ -236,12 +250,13 @@ class DataServer:
         self.stop = True
 
 
-def greedy_decode(params, cfg, tok, mel, max_new: int = MAX_TGT - 1):
+def greedy_decode(params, cfg, tok, mel, max_new: int = MAX_TGT - 1,
+                  lang: str = "en"):
     """Batched greedy from the SERVING prompt with a FIXED-shape token
     buffer (one compile: the decoder is causal, so positions past the
     frontier don't affect the frontier's logits)."""
     B = mel.shape[0]
-    prompt = serving_prompt(tok)
+    prompt = serving_prompt(tok, lang=lang)
     P = len(prompt)
     enc = wsp.encode(params, cfg, jnp.asarray(mel))
 
@@ -358,25 +373,27 @@ def main() -> None:
         save(params)
         print(f"saved to {OUT}")
 
-    # held-out eval (fresh rng stream; skip silence/context examples so
-    # refs are plain transcripts)
+    # held-out eval PER LANGUAGE SIDE (fresh rng stream; the mixed-corpus
+    # mean hid a 68.75% en side behind a 94% average in round 4)
     erng = np.random.default_rng(a.seed + 10_000)
-    ex = []
-    while len(ex) < 24:
-        e = make_example(erng, tok)
-        if not e[3] and e[2] == 0:  # not silence, no context
-            ex.append(e)
-    mel, toks, _tgt, _mask = assemble(ex, tok)
-    refs = []
-    specials = set(tok.special.values())
-    for row in toks:
-        ids = [int(t) for t in row if t not in specials]
-        refs.append(tok.decode(ids))
-    hyps = greedy_decode(params, cfg, tok, mel)
-    acc = word_acc(hyps, refs)
-    print(f"held-out word accuracy: {acc:.3f}")
-    for h, r in list(zip(hyps, refs))[:4]:
-        print(f"  ref: {r!r}\n  hyp: {h!r}")
+    for lang in ("en", "pt"):
+        texts, mels = [], []
+        while len(texts) < 12:
+            audio, text = make_utterance(erng, n_words=(1, 4), lang=lang)
+            if len(audio) > int(MAX_SECONDS * SR) - 320:
+                continue
+            if erng.random() < 0.5:
+                audio = telephone_channel(audio)
+            texts.append(text)
+            mels.append(log_mel_np(audio, N_MELS)[0])
+        mel = np.zeros((len(texts), N_MELS, MAX_MEL_T), np.float32)
+        for i, m in enumerate(mels):
+            mel[i, :, : m.shape[1]] = m
+        hyps = greedy_decode(params, cfg, tok, mel, lang=lang)
+        acc = word_acc(hyps, texts)
+        print(f"held-out {lang} word accuracy: {acc:.3f}")
+        for h, r in list(zip(hyps, texts))[:3]:
+            print(f"  ref: {r!r}\n  hyp: {h!r}")
 
 
 if __name__ == "__main__":
