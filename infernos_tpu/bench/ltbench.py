@@ -522,6 +522,7 @@ def main() -> None:
     t0 = time.monotonic()
     build_cluster(iconf, tiny=not args.full, bind_ip="127.0.0.1")
     startup_s = time.monotonic() - t0
+    rc = 0
     try:
         if args.ramp:
             if args.levels:
@@ -552,9 +553,26 @@ def main() -> None:
                              utter_fn=(speechlang_utterance if args.tiny_real
                                        else None))
             print(json.dumps(dataclasses.asdict(r)))
+    except BaseException:
+        import traceback
+        traceback.print_exc()
+        rc = 1
     finally:
-        stop_all()
-        far.close()
+        # Hard exit after the result line is out: native teardown (pacer
+        # std::threads, tunnel client) aborted a finished run once
+        # (rc=134 "exception not rethrown" AFTER the JSON printed,
+        # /tmp/q4_ltramp.log 2026-08-19) -- the measurement must not be
+        # taintable by exit-path races.
+        import sys
+        sys.stdout.flush()
+        sys.stderr.flush()
+        try:
+            stop_all()
+            far.close()
+        except Exception:
+            pass
+        sys.stdout.flush()
+        os._exit(rc)
 
 
 if __name__ == "__main__":
