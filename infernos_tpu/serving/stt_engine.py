@@ -109,6 +109,28 @@ class STTEngineConfig:
     # the per-layer dynamic weight slices static (no slice-copy, PERF.md
     # round 4).  0 = full unroll.
     decode_unroll: int = 1
+    # Encode-time padding, in seconds.  Whisper-family encoders are trained
+    # at ONE fixed input length (30 s for real whisper -- the reference's
+    # ct2 path always pads to it, Cluster/InfernSTTWorker.py:109-123; 5 s
+    # for the in-repo tiny model): feeding a shorter mel is out of
+    # distribution and silently costs accuracy (measured on the tiny pair:
+    # bilingual gate en-side 68.8% -> 84.4% word acc just from bucket-length
+    # vs trained-length encode, PERF.md round 4).  The waveform is zero-padded to
+    # this length BEFORE the mel+encode, and the encoder states are then
+    # truncated back to the request's bucket -- lossless for decode, since
+    # cross-attention masks positions >= enc_len anyway, and it keeps the
+    # cross-KV cache (the decode-side cost) bucket-sized.
+    #   -1 = auto: the model's own trained length, derived from
+    #        cfg.max_source_positions (1500 enc frames = 30 s for real
+    #        whisper; 100 = 2 s for the unit-test config; the tiny trained
+    #        pair's ladder tops at its trained 5 s).  Clamped up to
+    #        max(buckets_s) so truncation never exceeds the encode.  This
+    #        also keeps the TIERED short engine (ladder capped at 8 s)
+    #        encoding at the full trained length while its cross-cache --
+    #        the per-token decode cost -- stays bucket-sized.
+    #    0 = legacy per-bucket encode (encoder sees bucket-length mel;
+    #        only correct for models trained with matched bucketing)
+    encode_pad_s: int = -1
     # decode steps per device dispatch (lax.scan): the AR feedback loop is
     # already in-device (done flags, frozen cur_tok), so chaining K steps
     # amortizes host dispatch latency K-fold -- the difference between
@@ -209,6 +231,12 @@ class STTEngine:
         self.detokenize = detokenize or (lambda toks: " ".join(map(str, toks)))
         B = ecfg.batch_slots
         self.max_enc_len = (max(ecfg.buckets_s) * ecfg.sample_rate // HOP) // 2
+        if ecfg.encode_pad_s >= 0:
+            self._encode_pad_samples = ecfg.encode_pad_s * ecfg.sample_rate
+        else:  # auto: the model's trained input length (whisper: 30 s)
+            self._encode_pad_samples = max(
+                cfg.max_source_positions * 2 * HOP,
+                max(ecfg.buckets_s) * ecfg.sample_rate)
         self.cache = wsp.init_cache(cfg, B, ecfg.max_total_tokens,
                                     self.max_enc_len, dtype=ecfg.dtype,
                                     cross_int8=ecfg.cross_kv_int8,
@@ -246,9 +274,22 @@ class STTEngine:
     # -- jitted programs ------------------------------------------------------
 
     def _encode_bucket(self, params, audio, *, n_samples: int):
-        """[1, n_samples] waveform -> encoder states (mel fused on device)."""
+        """[1, n_samples] waveform -> encoder states (mel fused on device).
+
+        With ``encode_pad_s`` (the default), the waveform is zero-padded to
+        the model's trained input length before the mel+encode and the
+        states are sliced back to the bucket: the values at positions
+        < enc_len are exactly the trained-padding values, and decode never
+        attends beyond enc_len, so bucketing keeps its decode-side wins
+        without the encoder ever seeing an out-of-distribution length.
+        """
+        pad_samples = self._encode_pad_samples
+        if pad_samples > n_samples:
+            audio = jnp.pad(audio, ((0, 0), (0, pad_samples - n_samples)))
         mel = log_mel_jax(audio, n_mels=self.cfg.num_mel_bins)
-        return wsp.encode(params, self.cfg, mel.astype(self.ecfg.dtype))
+        enc = wsp.encode(params, self.cfg, mel.astype(self.ecfg.dtype))
+        s_bucket = (n_samples // HOP) // 2
+        return enc[:, :s_bucket]
 
     def _prefill(self, params, tokens, enc_out, prompt_len, sot_pos):
         """Teacher-forced prompt pass that also returns self-attn K/V.

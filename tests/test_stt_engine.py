@@ -358,6 +358,62 @@ def test_beam_logprob_not_worse_than_greedy():
     assert float(b_lp) >= float(g_lp) - 1e-4
 
 
+def test_encode_pad_prefix_invariant():
+    """encode_pad_s (default: trained length): the encoder states of a
+    short-bucket request must be exactly the first frames of the longer
+    bucket's encode of the same zero-padded audio -- the encoder always
+    sees ONE trained input length and bucketing only truncates states
+    (whisper semantics; Cluster/InfernSTTWorker.py:109-123 always pads to
+    30 s before ct2 encode)."""
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    ecfg = STTEngineConfig(
+        batch_slots=2, buckets_s=(1, 2), sample_rate=16000,
+        max_new_tokens=6, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4)
+    eng = STTEngine(params, TINY, ecfg)
+    assert eng._encode_pad_samples == 2 * 16000  # -1 -> max bucket
+
+    import jax.numpy as jnp
+    wav = np.zeros((1, 2 * 16000), np.float32)
+    wav[0, : 16000] = _audio(1.0, seed=7)
+    enc_long = eng._encode_fns[2](params, jnp.asarray(wav))
+    enc_short = eng._encode_fns[1](params, jnp.asarray(wav[:, :16000]))
+    assert enc_short.shape[1] * 2 == enc_long.shape[1]
+    np.testing.assert_allclose(np.asarray(enc_short),
+                               np.asarray(enc_long)[:, : enc_short.shape[1]],
+                               rtol=0, atol=1e-5)
+
+
+def test_encode_pad_legacy_mode():
+    """encode_pad_s=0 keeps the per-bucket encode (encoder sees the bucket
+    length) for models trained with matched bucketing."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    params = wsp.init_params(jax.random.PRNGKey(0), TINY)
+    base = STTEngineConfig(
+        batch_slots=2, buckets_s=(1, 2), sample_rate=16000,
+        max_new_tokens=6, max_prompt_tokens=8,
+        lang_tokens={"en": 10}, task_transcribe=12, task_translate=13,
+        no_timestamps=14, no_speech=4)
+    legacy = STTEngine(params, TINY, dc.replace(base, encode_pad_s=0))
+    wav = jnp.asarray(_audio(1.0, seed=9)[None])
+    enc = legacy._encode_fns[1](params, wav)
+    # oracle: mel+encode of the raw bucket-length waveform, no padding
+    from infernos_tpu.audio.mel import log_mel_jax as _mel
+    ref = wsp.encode(params, TINY, _mel(wav, n_mels=TINY.num_mel_bins)
+                     .astype(base.dtype))
+    np.testing.assert_allclose(np.asarray(enc), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    # and end-to-end it still decodes
+    out = []
+    legacy.submit(STTRequest(audio=_audio(0.5, 11), text_cb=out.append))
+    while legacy.step():
+        pass
+    assert len(out) == 1 and out[0].tokens is not None
+
+
 def test_beam_rung_fires_after_ladder():
     """fallback_beam_size: gate fails, temperatures exhausted -> one beam
     re-decode, caller sees exactly one final result."""
