@@ -42,22 +42,49 @@ def text_similarity(a: str, b: str) -> float:
 class LoopbackQA:
     def __init__(self, tts_engine, stt_engine, tokenize, detokenize=None,
                  similarity: Callable[[str, str], float] = text_similarity,
-                 checkpoint_path: Optional[str] = None):
+                 checkpoint_path: Optional[str] = None,
+                 fingerprint: Optional[str] = None):
         self.tts = tts_engine
         self.stt = stt_engine
         self.tokenize = tokenize
         self.detok = detokenize
         self.similarity = similarity
         self.checkpoint_path = checkpoint_path
+        # resume cells are only valid for the (model weights, prompt set)
+        # they were scored against; a fingerprint mismatch discards them
+        # (round 4: a driver re-run resumed cells scored on the pre-promotion
+        # checkpoints and would have reported the wrong model's QA)
+        self.fingerprint = fingerprint
         self.scores: Dict[int, float] = {}
         if checkpoint_path and os.path.exists(checkpoint_path):
-            with open(checkpoint_path) as f:
-                # "sid" keys: per-voice scores; "sid:pidx" cell keys belong
-                # to run_bank sweeps and are reloaded there
-                self.scores = {int(k): v for k, v in json.load(f).items()
-                               if ":" not in str(k)}
+            loaded = self._load_checkpoint()
+            # "sid" keys: per-voice scores; "sid:pidx" cell keys belong
+            # to run_bank sweeps and are reloaded there
+            self.scores = {int(k): v for k, v in loaded.items()
+                           if ":" not in str(k)}
 
-    def _speak(self, prompt: str, speaker, max_frames: int = 128) -> np.ndarray:
+    def _load_checkpoint(self) -> Dict[str, float]:
+        with open(self.checkpoint_path) as f:
+            loaded = json.load(f)
+        saved_fp = loaded.pop("__fingerprint__", None)
+        if self.fingerprint is not None and saved_fp != self.fingerprint:
+            return {}
+        return loaded
+
+    def _save_checkpoint(self, cells: Dict[str, float]) -> None:
+        out = dict(cells)
+        if self.fingerprint is not None:
+            out["__fingerprint__"] = self.fingerprint
+        with open(self.checkpoint_path, "w") as f:
+            json.dump(out, f)
+
+    def _speak(self, prompt: str, speaker,
+               max_frames: Optional[int] = None) -> np.ndarray:
+        """Synthesize ``prompt``; the trained stop token ends the utterance
+        (no artificial frame cap by default -- a cap below the model's
+        natural length truncates long prompts MID-WORD and reads as an STT
+        quality failure; round-4 whole-bank sweep lost ~0.15 mean
+        similarity to exactly that)."""
         chunks: List[np.ndarray] = []
         done = []
         self.tts.start_session(self.tokenize(prompt), speaker,
@@ -77,7 +104,12 @@ class LoopbackQA:
             pass
         return out[0].text if out else ""
 
-    def score_speaker(self, speaker_id: int, speaker_vec, prompt: str) -> SpeakerScore:
+    def score_speaker(self, speaker_id: int, speaker_vec, prompt: str,
+                      lang: str = "en") -> SpeakerScore:
+        """Score one (voice, prompt) round trip.  ``lang`` conditions the
+        STT decode -- serving legs are language-pure, so QA prompts must be
+        too (an en-conditioned decode of pt words snaps them to en
+        spellings on the language-conditioned checkpoints)."""
         audio = self._speak(prompt, speaker_vec)
         # TTS engine emits at its sample_rate; STT expects 16 kHz
         sr = self.tts.ecfg.sample_rate
@@ -85,20 +117,25 @@ class LoopbackQA:
             from ..audio.chunk import AudioChunk
 
             audio = AudioChunk(audio, sr).resample(16000).audio
-        transcript = self._transcribe(audio)
+        transcript = self._transcribe(audio, lang=lang)
         sim = self.similarity(prompt, transcript)
         self.scores[speaker_id] = sim
         return SpeakerScore(speaker_id, sim, prompt, transcript,
                             len(audio) / 16000.0)
 
+    @staticmethod
+    def _norm(prompt) -> tuple:
+        """Prompts are ``"text"`` (lang 'en') or ``(text, lang)``."""
+        return prompt if isinstance(prompt, tuple) else (prompt, "en")
+
     def run_generation(self, bank, speaker_ids, prompts) -> List[SpeakerScore]:
         out = []
         for i, sid in enumerate(speaker_ids):
-            out.append(self.score_speaker(sid, bank.get(sid),
-                                          prompts[i % len(prompts)]))
+            text, lang = self._norm(prompts[i % len(prompts)])
+            out.append(self.score_speaker(sid, bank.get(sid), text,
+                                          lang=lang))
         if self.checkpoint_path:
-            with open(self.checkpoint_path, "w") as f:
-                json.dump(self.scores, f)
+            self._save_checkpoint({str(k): v for k, v in self.scores.items()})
         return out
 
     def run_bank(self, bank, speaker_ids, prompts,
@@ -113,23 +150,22 @@ class LoopbackQA:
         """
         cells: Dict[str, float] = {}
         if self.checkpoint_path and os.path.exists(self.checkpoint_path):
-            with open(self.checkpoint_path) as f:
-                loaded = json.load(f)
-            cells = {k: v for k, v in loaded.items() if ":" in str(k)}
+            cells = {k: v for k, v in self._load_checkpoint().items()
+                     if ":" in str(k)}
         per_voice: Dict[int, List[SpeakerScore]] = {}
         for sid in speaker_ids:
             rows: List[SpeakerScore] = []
             for pidx, prompt in enumerate(prompts):
+                text, lang = self._norm(prompt)
                 key = f"{sid}:{pidx}"
                 if key in cells:
-                    rows.append(SpeakerScore(sid, cells[key], prompt, "", 0.0))
+                    rows.append(SpeakerScore(sid, cells[key], text, "", 0.0))
                     continue
-                s = self.score_speaker(sid, bank.get(sid), prompt)
+                s = self.score_speaker(sid, bank.get(sid), text, lang=lang)
                 rows.append(s)
                 cells[key] = s.similarity
                 if self.checkpoint_path:
-                    with open(self.checkpoint_path, "w") as f:
-                        json.dump(cells, f)
+                    self._save_checkpoint(cells)
             per_voice[sid] = rows
             self.scores[sid] = float(np.mean([r.similarity for r in rows]))
             if on_voice_done is not None:
@@ -182,13 +218,37 @@ def main() -> None:
     stt = STTEngine(sparams, scfg, secfg, detokenize=stok.detokenize)
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
-    from tools.speechlang import checkpoint_words, transcript_corpus
+    from tools.speechlang import (EN_WORDS, PT_WORDS, checkpoint_words,
+                                  transcript_corpus)
 
     # sample the vocabulary the SERVING checkpoint was trained on (the
-    # trainers' WORDS went bilingual ahead of the bilingual checkpoints)
-    prompts = transcript_corpus(a.prompts, seed=555,
-                                words=checkpoint_words("tiny_stt"))
-    qa = LoopbackQA(tts, stt, tokenize=ttok, checkpoint_path=a.checkpoint)
+    # trainers' WORDS went bilingual ahead of the bilingual checkpoints) --
+    # LANGUAGE-PURE per prompt, because serving legs are language-pure and
+    # the language-conditioned STT decodes each request under one lang token
+    ck = set(checkpoint_words("tiny_stt"))
+    en_vocab = [w for w in EN_WORDS if w in ck]
+    pt_vocab = [w for w in PT_WORDS if w in ck and w not in en_vocab]
+    if pt_vocab:
+        n_en = (a.prompts + 1) // 2
+        prompts = (
+            [(t, "en") for t in transcript_corpus(n_en, seed=555,
+                                                  words=en_vocab)]
+            + [(t, "pt") for t in transcript_corpus(a.prompts - n_en,
+                                                    seed=556,
+                                                    words=pt_vocab)])
+    else:  # en-only round-3 checkpoints
+        prompts = [(t, "en") for t in transcript_corpus(
+            a.prompts, seed=555, words=en_vocab or sorted(ck))]
+
+    import hashlib
+
+    h = hashlib.sha1(json.dumps(prompts).encode())
+    for part in ("tiny_stt/params.npz", "tiny_tts/t5_params.npz"):
+        p = Path(tiny_real.data_path(part.split("/")[0])) / part.split("/")[1]
+        st = os.stat(p)
+        h.update(f"{part}:{st.st_size}:{st.st_mtime_ns}".encode())
+    qa = LoopbackQA(tts, stt, tokenize=ttok, checkpoint_path=a.checkpoint,
+                    fingerprint=h.hexdigest())
 
     class _Bank:
         def get(self, sid):

@@ -71,6 +71,17 @@ def _word_acc(ref: str, hyp: str) -> float:
     return sum(a == b for a, b in zip(rw, hw)) / max(len(rw), 1)
 
 
+def _active_region(audio: np.ndarray, thresh: float = 1e-3,
+                   margin: int = 800) -> np.ndarray:
+    """Trim leading/trailing silence: the capture spans the whole call
+    (the pacer fills silence from t=0) while the STT clips at its longest
+    bucket -- feeding the raw capture hands the model only leading hiss."""
+    idx = np.flatnonzero(np.abs(audio) > thresh)
+    if idx.size == 0:
+        return audio[:0]
+    return audio[max(0, idx[0] - margin): idx[-1] + margin]
+
+
 @pytest.mark.e2e
 @pytest.mark.skipif(not _bilingual_ready(),
                     reason="bilingual tiny-real checkpoints not promoted yet")
@@ -113,14 +124,18 @@ def test_lt_translates_both_directions(tmp_path, monkeypatch):
         en_text = "please help now"
         pt_expect = "favor ajuda agora"
         alice.stream_bg(_render(en_text, seed=5), then_silence=True)
+        # wait for a REAL burst then trailing quiet: the output pacer sends
+        # silence frames from t=0, so "line is quiet" alone trips ~0.5 s in,
+        # long before the pipeline's first TTS audio
         deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
             audio = bob.rx_audio()
-            if len(audio) > 4000 and np.abs(audio[-2400:]).max() < 1e-3:
+            if (len(audio) > 4000 and np.abs(audio).max() > 1e-3
+                    and np.abs(audio[-2400:]).max() < 1e-3):
                 break  # got a burst and the line went quiet again
             time.sleep(0.5)
         alice.stop_streaming()
-        pt_hyp = _transcribe(bob.rx_audio(), "pt")
+        pt_hyp = _transcribe(_active_region(bob.rx_audio()), "pt")
         acc_pt = _word_acc(pt_expect, pt_hyp)
 
         # -- pt -> en: Bob speaks Portuguese; Alice must hear English.
@@ -135,11 +150,13 @@ def test_lt_translates_both_directions(tmp_path, monkeypatch):
         deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
             audio = alice.rx_audio_since(n_before)
-            if len(audio) > 4000 and np.abs(audio[-2400:]).max() < 1e-3:
+            if (len(audio) > 4000 and np.abs(audio).max() > 1e-3
+                    and np.abs(audio[-2400:]).max() < 1e-3):
                 break
             time.sleep(0.5)
         bob.stop_streaming()
-        en_hyp = _transcribe(alice.rx_audio_since(n_before), "en")
+        en_hyp = _transcribe(_active_region(alice.rx_audio_since(n_before)),
+                             "en")
         acc_en = _word_acc(en_expect, en_hyp)
 
         assert acc_pt >= 0.6, f"en->pt leg: expected {pt_expect!r}, got {pt_hyp!r}"
