@@ -73,14 +73,14 @@ class AIASession:
         self.text_buffer: List[str] = []
         self.say_queue: List[str] = []
         self.saying = None  # None | pending token | resolved say_id (UUID)
-        self._stop_on_start = None  # barge-in hit while the say_id was pending
+        self._stop_on_start = set()  # barge-ins hit while a say_id was pending
         self.last_active = time.monotonic()
         self.flush_armed = False
         self.live_req_id: Optional[int] = None
-        # mirrors LLMSession._next_req (both start at 0; textin is the only
-        # incrementer), so textin can be fire-and-forget: blocking the actor
-        # mailbox on an ask_sync serializes every session behind one LLM
-        # round-trip (round-4 ramp wedge)
+        # session-owned req ids passed INTO textin, so the fire-and-forget
+        # actor call (blocking the mailbox on an ask_sync serializes every
+        # session behind one LLM round-trip -- round-4 ramp wedge) cannot
+        # desync from the engine-side counter
         self._next_llm_req = 0
         self.closed = False
         # -- media wiring (callbacks hop to the actor mailbox) -----------------
@@ -127,7 +127,7 @@ class AIASession:
             if isinstance(self.saying, _PendingSay):
                 # the say's id has not resolved yet: stop it the moment
                 # say_started delivers it
-                self._stop_on_start = self.saying
+                self._stop_on_start.add(self.saying)
             else:
                 self.actor.tts_actr.call("tts_session_stop_saying",
                                          self.tts_sess_id, self.saying)
@@ -154,12 +154,13 @@ class AIASession:
             return
         utterance = " ".join(self.text_buffer)
         self.text_buffer.clear()
-        # fire-and-forget; the req id is mirrored locally (see __init__)
+        # fire-and-forget; the session OWNS the req id and passes it in
         self.live_req_id = self._next_llm_req
         self._next_llm_req += 1
         self.actor.llm_actr.call(
             "llm_session_textin", self.llm_sess_id, utterance,
-            lambda r: self.actor.handle.call("text_out", self.id, r))
+            lambda r: self.actor.handle.call("text_out", self.id, r),
+            req_id=self.live_req_id)
 
     # -- LLM results ----------------------------------------------------------------
     def text_out(self, r) -> None:
@@ -195,8 +196,8 @@ class AIASession:
     def say_started(self, token, fut) -> None:
         if self.closed:
             return
-        if token is self._stop_on_start:  # barge-in beat the resolution
-            self._stop_on_start = None
+        if token in self._stop_on_start:  # barge-in beat the resolution
+            self._stop_on_start.discard(token)
             try:
                 say_id = fut.result()
             except Exception:

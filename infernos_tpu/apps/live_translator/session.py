@@ -15,6 +15,8 @@ Capability parity with ``Apps/LiveTranslator/LTSession.py``:
 
 from __future__ import annotations
 
+import os
+import time
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -131,6 +133,14 @@ class LTSession:
         if self.closed:
             return
         d = self.dirs[dname]
+        log.debug("LTSession %s %s: vad chunk %d samples", self.id, dname,
+                  len(chunk.audio))
+        dump_dir = os.environ.get("INFERNOS_DUMP_VAD")
+        if dump_dir:  # debugging aid: save captured segments as .npy
+            import numpy as _np
+            _np.save(os.path.join(
+                dump_dir, f"vad_{dname}_{int(time.monotonic()*1000)}.npy"),
+                _np.asarray(chunk.audio))
         self.actor.stt_actr.call(
             "stt_session_soundin", d.stt_sess_id,
             STTRequest(chunk=chunk, lang=d.stt_lang, mode="translate",
@@ -140,6 +150,8 @@ class LTSession:
     def text_in(self, dname: str, res) -> None:
         if self.closed:
             return
+        log.debug("LTSession %s %s: stt %r (ns_prob %.2f)", self.id, dname,
+                  res.text, res.no_speech_prob)
         if res.no_speech_prob > 0.5:  # reference gate, :204-206
             return
         text = res.text.strip()
@@ -147,6 +159,7 @@ class LTSession:
             return
         d = self.dirs[dname]
         translated = d.translator.translate(text)
+        log.debug("LTSession %s %s: translated %r", self.id, dname, translated)
         for group in regroup_sentences(sent_split(d.n2w(translated))):
             d.say_queue.append(group)
         self._pump_say(d)

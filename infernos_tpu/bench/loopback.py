@@ -148,7 +148,7 @@ class LoopbackQA:
         raw ``"sid:pidx" -> sim`` cells so an interrupted sweep resumes
         mid-voice.
         """
-        cells: Dict[str, float] = {}
+        cells: Dict[str, object] = {}
         if self.checkpoint_path and os.path.exists(self.checkpoint_path):
             cells = {k: v for k, v in self._load_checkpoint().items()
                      if ":" in str(k)}
@@ -159,11 +159,21 @@ class LoopbackQA:
                 text, lang = self._norm(prompt)
                 key = f"{sid}:{pidx}"
                 if key in cells:
-                    rows.append(SpeakerScore(sid, cells[key], text, "", 0.0))
+                    c = cells[key]
+                    # dict cells carry the transcript through a resume
+                    # (ADVICE r4: bare-float cells lost per-cell transcripts
+                    # for debugging); bare floats are legacy checkpoints
+                    if isinstance(c, dict):
+                        rows.append(SpeakerScore(
+                            sid, c["sim"], text, c.get("transcript", ""),
+                            c.get("audio_s", 0.0)))
+                    else:
+                        rows.append(SpeakerScore(sid, c, text, "", 0.0))
                     continue
                 s = self.score_speaker(sid, bank.get(sid), text, lang=lang)
                 rows.append(s)
-                cells[key] = s.similarity
+                cells[key] = {"sim": s.similarity, "transcript": s.transcript,
+                              "audio_s": s.audio_s}
                 if self.checkpoint_path:
                     self._save_checkpoint(cells)
             per_voice[sid] = rows

@@ -17,7 +17,7 @@ import dataclasses
 import json
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
@@ -63,7 +63,8 @@ class MultiFarEnd:
 
                 sock = UdpServer(("127.0.0.1", 0), rx)
                 entry["sock"] = sock
-                uas = UAS(self.stack, msg, addr)
+                # G.711 only: the fleet streams precomputed mu-law frames
+                uas = UAS(self.stack, msg, addr, accept_codecs=(G711Codec,))
                 params = uas.negotiate()
                 uas.accept(sock.laddr, params.codec)
                 with self._lock:
@@ -439,9 +440,12 @@ def run_lt_level(sip_bind, far_end: MultiFarEnd, n_calls: int,
 
 def run_lt_ramp(sip_bind, far_end: MultiFarEnd, levels: List[int],
                 turns: int = 2, utter_s: float = 1.6,
-                sla_turn_s: float = 3.5, seed: int = 42):
+                sla_turn_s: float = 3.5, seed: int = 42,
+                on_level: Optional[Callable] = None):
     """Ramp the fleet through ``levels`` until the SLA breaks; one retry
-    per failed level (tunnel variance)."""
+    per failed level (tunnel variance).  ``on_level(best, results)`` fires
+    after every completed level so callers can publish progressive results
+    (a driver-killed ramp still records its best passing level)."""
     results = []
     best: Optional[LTLevelResult] = None
     for n in levels:
@@ -449,13 +453,17 @@ def run_lt_ramp(sip_bind, far_end: MultiFarEnd, levels: List[int],
                          sla_turn_s=sla_turn_s, seed=seed)
         results.append(r)
         if not r.ok:
+            if on_level is not None:
+                on_level(best, results)
             r = run_lt_level(sip_bind, far_end, n, turns=turns,
                              utter_s=utter_s, sla_turn_s=sla_turn_s,
                              seed=seed + 17)
             results.append(r)
         if r.ok:
             best = r
-        else:
+        if on_level is not None:
+            on_level(best, results)
+        if not r.ok:
             break
     return best, results
 
@@ -468,8 +476,10 @@ def main() -> None:
     from ..config import InfernConfig
     from ..main import build_cluster
     from ..utils.compile_cache import enable
+    from ..utils.pysampler import maybe_start_from_env
 
     enable()
+    maybe_start_from_env()  # INFERNOS_PYSAMPLER=/tmp/prof.json to profile
     ap = argparse.ArgumentParser()
     ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--turns", type=int, default=3)
@@ -530,23 +540,32 @@ def main() -> None:
             else:
                 levels = [int(x) for x in os.environ.get(
                     "BENCH_LT_LEVELS", "4,8,16,24,32,48,64").split(",")]
+            def _ramp_json(best, results):
+                return {
+                    "metric": "lt_calls_per_chip",
+                    "value": best.n_calls if best else 0,
+                    "unit": f"concurrent two-leg LT calls "
+                            f"(p95 turn<{args.sla}s, 0 failed turns)",
+                    "vs_baseline": round(
+                        (best.n_calls if best else 0) / 50.0, 3),
+                    "detail": {
+                        "turn_p50_s": best.turn_p50_s if best else None,
+                        "turn_p95_s": best.turn_p95_s if best else None,
+                        "startup_s": round(startup_s, 1),
+                        "levels": [dataclasses.asdict(r) for r in results],
+                    },
+                }
+
+            def _on_level(best, results):
+                # progressive publication: if the driver (or the tunnel)
+                # kills the ramp mid-ladder, the last stdout JSON line is
+                # the freshest passing level instead of nothing
+                print(json.dumps(_ramp_json(best, results)), flush=True)
+
             best, results = run_lt_ramp(
                 iconf.sip_conf.bind, far, levels, turns=args.turns,
-                sla_turn_s=args.sla)
-            out = {
-                "metric": "lt_calls_per_chip",
-                "value": best.n_calls if best else 0,
-                "unit": f"concurrent two-leg LT calls "
-                        f"(p95 turn<{args.sla}s, 0 failed turns)",
-                "vs_baseline": round((best.n_calls if best else 0) / 50.0, 3),
-                "detail": {
-                    "turn_p50_s": best.turn_p50_s if best else None,
-                    "turn_p95_s": best.turn_p95_s if best else None,
-                    "startup_s": round(startup_s, 1),
-                    "levels": [dataclasses.asdict(r) for r in results],
-                },
-            }
-            print(json.dumps(out))
+                sla_turn_s=args.sla, on_level=_on_level)
+            print(json.dumps(_ramp_json(best, results)), flush=True)
         else:
             r = run_lt_bench(iconf.sip_conf.bind, far, n_calls=args.calls,
                              turns=args.turns,

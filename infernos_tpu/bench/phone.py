@@ -67,7 +67,10 @@ class FakePhone:
         # ONE packetizer per call: RTP seq/ts must stay continuous across
         # talk spurts (the ingest jitter buffer asserts strict lseq)
         self._packetizer = RTPPacketizer(8000, 20)
-        self.uac = UAC(self.stack)
+        # offer ONLY G.711: the phone streams precomputed mu-law frames, so
+        # advertising codecs it will not send (the UAC default adds G722)
+        # would make the answerer negotiate one codec and receive another
+        self.uac = UAC(self.stack, accept_codecs=(G711Codec,))
         fut = asyncio.run_coroutine_threadsafe(
             self.uac.invite_call(
                 SipURI(host=dest[0], port=dest[1]), cld=cld,
@@ -165,7 +168,10 @@ class FarEnd:
             await self.stack.start()
 
             def on_invite(msg, addr):
-                uas = UAS(self.stack, msg, addr)
+                # answer G.711 only: this fake streams mu-law frames, so it
+                # must not negotiate a wideband codec it will not send
+                uas = UAS(self.stack, msg, addr,
+                          accept_codecs=(G711Codec,))
                 params = uas.negotiate()
                 uas.accept(self.rtp_sock.laddr, params.codec)
                 self.n_answered += 1

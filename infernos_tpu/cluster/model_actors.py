@@ -404,9 +404,11 @@ class LLMActor(Actor):
         return sess.id
 
     def llm_session_textin(self, sess_id: uuid_mod.UUID, text: str,
-                           result_cb, auto_ctx_add: bool = True) -> int:
+                           result_cb, auto_ctx_add: bool = True,
+                           req_id=None) -> int:
         req_id = self.sessions[sess_id].textin(text, result_cb,
-                                               auto_ctx_add=auto_ctx_add)
+                                               auto_ctx_add=auto_ctx_add,
+                                               req_id=req_id)
         self.driver.kick()
         return req_id
 

@@ -14,6 +14,7 @@ bridged legs (``InfernRTPIngest.py:58-60``, ``Cluster/InfernRTPActor.py:67-69``)
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import uuid as uuid_mod
@@ -74,6 +75,7 @@ class RTPInStream:
         self.jbuf = make_jitter_buffer(self.jb_size)
         self.last_output_lseq: Optional[int] = None
         self.npkts = 0
+        self.pt_dropped = 0
         self.ain = AudioInput()
         self.ain_lock = threading.Lock()
         self.vchan = VADChannel(self._audio_chunk_out, self._vad_chunk_out,
@@ -109,11 +111,42 @@ class RTPInStream:
             with self.ain_lock:
                 self.ain = wi.ain
             return
+        # -- payload-type discipline (be liberal in what you accept) ---------
+        # Some endpoints answer-negotiate one codec then send another they
+        # also support (observed: offer lists PCMU first, our answer prefers
+        # G722, the peer streams PCMU anyway).  Decoding PCMU bytes as G722
+        # ADPCM yields loud envelope-tracking garbage that poisons VAD+STT,
+        # so: on the FIRST audio packet, follow the sender's pt if we
+        # support it; after that, drop any packet whose pt does not match
+        # the stream codec (comfort-noise/DTMF/late flips must not reach
+        # the decoder).  Reference ingest trusts rtpsynth's pt handling
+        # (RTP/InfernRTPIngest.py:76-98); this is the explicit equivalent.
+        if len(wi.data) >= 12:
+            pt = wi.data[1] & 0x7F
+            if pt != self.codec.ptype:
+                from ..audio.codecs import CODECS
+
+                if self.npkts == 0 and pt in CODECS:
+                    log.warning(
+                        "stream %r: peer sends pt %d (%s) instead of "
+                        "negotiated %s; following the sender", self, pt,
+                        CODECS[pt].ename, self.codec.ename)
+                    self.codec = CODECS[pt]()
+                    self.vchan.rebind_codec(self.codec)
+                else:
+                    self.pt_dropped += 1
+                    if self.pt_dropped == 1:
+                        log.warning(
+                            "stream %r: dropping packets with unexpected "
+                            "pt %d (negotiated %s)", self, pt,
+                            self.codec.ename)
+                    return
         try:
             frames = self.jbuf.udp_in(wi.data)
         except RTPParseError:
             return
         self.npkts += 1
+        dump = os.environ.get("INFERNOS_DUMP_RTP")
         for f in frames:
             if f.type == RTPFrameType.ERS:
                 self.last_output_lseq = f.lseq_end
@@ -124,6 +157,13 @@ class RTPInStream:
                     (f.lseq, self.last_output_lseq)
                 self.last_output_lseq = f.lseq
                 payload = f.rtp_data
+            if dump:  # debugging aid: append (kind, lseq, payload) records
+                with open(os.path.join(
+                        dump, f"rtp_{id(self):x}.bin"), "ab") as df:
+                    kind = b"E" if f.type == RTPFrameType.ERS else b"A"
+                    df.write(kind + len(payload).to_bytes(4, "little")
+                             + int(f.lseq).to_bytes(8, "little", signed=True)
+                             + payload)
             self.vchan.ingest(vad_worker, payload)
 
     # -- VAD callbacks (worker thread) ---------------------------------------

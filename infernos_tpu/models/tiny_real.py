@@ -91,6 +91,9 @@ def load_tiny_stt():
         sot_prev=specials["<|startofprev|>"],
         suppress_tokens=(), begin_suppress_tokens=(),
         cross_kv_int8=False,
+        # the tiny model trains on renders starting at t=0; VAD pre-roll
+        # silence garbles it (round-5 finding, see STTEngineConfig)
+        trim_lead_silence=3e-3,
     )
     return params, cfg, tok, ecfg
 

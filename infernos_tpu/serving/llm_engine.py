@@ -402,7 +402,11 @@ class LLMEngine:
         if self.n_active == 0:
             if self._inflight:
                 self._harvest(*self._inflight.popleft())
-                return self.n_active > 0 or bool(self._pending)
+                # keep the driver hot while trailing in-flight dispatches
+                # remain, or their harvests become poll-gated (~100 ms tail
+                # each, ADVICE r4)
+                return (self.n_active > 0 or bool(self._inflight)
+                        or bool(self._pending))
             return bool(self._pending)
         if self.ecfg.spec_decode:
             # harvest the in-flight dispatches FIRST: drafts built from

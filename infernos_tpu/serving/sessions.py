@@ -266,12 +266,17 @@ class LLMSession:
     def textin(self, text: str,
                result_cb: Callable[[LLMResult], None],
                auto_ctx_add: bool = True,
-               max_new_tokens: Optional[int] = None) -> int:
+               max_new_tokens: Optional[int] = None,
+               req_id: Optional[int] = None) -> int:
         from .llm_engine import LLMRequest, apply_chat_template
 
         self.context_add(text, role="user")
-        req_id = self._next_req
-        self._next_req += 1
+        if req_id is None:
+            req_id = self._next_req
+        # callers that pass their own ids (fire-and-forget actor calls that
+        # cannot wait for the return value) must never collide with
+        # auto-assigned ones
+        self._next_req = max(self._next_req, req_id) + 1
         parts: List[str] = []
 
         def sentence_cb(sent: str, is_final: bool) -> None:

@@ -158,6 +158,26 @@ class STTEngineConfig:
     # duration, so it is a rare-path quality tool, not the serving path.
     fallback_beam_size: int = 0
     beam_length_penalty: float = 1.0
+    # amplitude threshold for trimming LEADING silence off submitted audio
+    # (0 = off).  The in-repo tiny model is trained on renders that start
+    # at t=0 and garbles with >=50 ms of leading silence, while the VAD
+    # capture path prepends up to ~190 ms of pre-roll (2 x 768-sample
+    # windows @8 kHz) -- a train/serve distribution mismatch that cost the
+    # en->pt LT leg its transcript (round-5 finding).  A 10 ms margin is
+    # kept before the first above-threshold sample.  Real whisper weights
+    # are robust to leading silence; tiny_real.load_tiny_stt() enables
+    # this, full-dims configs leave it off.
+    trim_lead_silence: float = 0.0
+
+    def __post_init__(self) -> None:
+        # fail at config time with a readable message instead of a trace-time
+        # TypeError deep inside the decode scan (ADVICE r4)
+        if self.cross_int8_direct and not (self.cross_kv_int8
+                                           and self.cache_time_minor):
+            raise ValueError(
+                "cross_int8_direct=True requires cross_kv_int8=True and "
+                "cache_time_minor=True (the s8xs8 cross step reads the int8 "
+                "dict cache in time-minor layout)")
 
     @property
     def max_total_tokens(self) -> int:
@@ -548,6 +568,12 @@ class STTEngine:
         starved actor mailboxes whenever the driver was saturated (round-4
         ramp wedge, PERF.md).
         """
+        thresh = self.ecfg.trim_lead_silence
+        if thresh > 0.0 and len(req.audio):
+            idx = np.flatnonzero(np.abs(req.audio) > thresh)
+            if idx.size:
+                # 10 ms margin keeps any soft onset the threshold clipped
+                req.audio = req.audio[max(0, int(idx[0]) - 160):]
         with self._sub_lock:
             self._pending.append(req)
         return -1

@@ -87,6 +87,14 @@ class VADChannel:
         self.active_start: Optional[int] = None
         self.active_buffer = np.zeros(0, np.float32)
 
+    def rebind_codec(self, codec) -> None:
+        """Swap the stream codec before any audio buffered (first-packet
+        payload-type follow, ``media.ingest.RTPInStream._proc``).  The
+        channel keeps feeding VAD at ``self.sample_rate`` -- ``decode``
+        resamples wideband codecs (G.722 16 kHz) down to it."""
+        assert not self.vad_buffer, "rebind_codec after audio buffered"
+        self.codec = codec
+
     def ingest(self, worker: "VADWorker", payload: bytes) -> None:
         """Append codec payload bytes; enqueue full windows to the worker."""
         self.vad_buffer += payload

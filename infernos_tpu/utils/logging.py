@@ -9,6 +9,7 @@ by a monotonic timestamp helper (``IG.stdtss``, reference
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
 
@@ -25,7 +26,8 @@ def _configure_root() -> None:
     handler.setFormatter(logging.Formatter(_FMT, datefmt=_DATEFMT))
     root = logging.getLogger("infernos_tpu")
     root.addHandler(handler)
-    root.setLevel(logging.INFO)
+    level = os.environ.get("INFERNOS_LOG_LEVEL", "INFO").upper()
+    root.setLevel(getattr(logging, level, logging.INFO))
     root.propagate = False
     _configured = True
 

@@ -98,7 +98,8 @@ class StubModelActor:
     def new_llm_session(self, prompt=""):
         return uuid.uuid4()
 
-    def llm_session_textin(self, sid, text, cb, auto_ctx_add=True):
+    def llm_session_textin(self, sid, text, cb, auto_ctx_add=True,
+                           req_id=None):
         self.log.append(("llm_in", text))
         self.last_cb = cb
         return len([e for e in self.log if e[0] == "llm_in"]) - 1

@@ -103,12 +103,24 @@ def test_loopback_bank_sweep_resumes(tmp_path):
     cells = _json.loads(open(ckpt_p).read())
     assert set(cells) == {"0:0", "0:1", "1:0", "1:1"}
     # resume: a fresh sweep over a SUPERSET of voices reuses the cells
-    # (transcript empty marks a from-checkpoint row) and only scores voice 2
+    # (dict cells carry the transcript through the resume, ADVICE r4) and
+    # only scores voice 2
     qa2 = LoopbackQA(tts, stt, tokenize=CharTokenizer(), checkpoint_path=ckpt_p)
     pv2 = qa2.run_bank(bank, [0, 1, 2], prompts)
-    assert all(r.transcript == "" for r in pv2[0] + pv2[1])
+    assert ([r.transcript for r in pv2[0] + pv2[1]]
+            == [r.transcript for r in pv[0] + pv[1]])
     assert [r.similarity for r in pv2[0]] == [r.similarity for r in pv[0]]
     assert set(qa2.scores) == {0, 1, 2}
+    # legacy bare-float cells (pre-r5 checkpoints) still resume, with the
+    # transcript lost but the similarity preserved
+    legacy = {k: (v["sim"] if isinstance(v, dict) else v)
+              for k, v in _json.loads(open(ckpt_p).read()).items()
+              if ":" in k}
+    open(ckpt_p, "w").write(_json.dumps(legacy))
+    qa3 = LoopbackQA(tts, stt, tokenize=CharTokenizer(), checkpoint_path=ckpt_p)
+    pv3 = qa3.run_bank(bank, [0, 1], prompts)
+    assert all(r.transcript == "" for r in pv3[0] + pv3[1])
+    assert [r.similarity for r in pv3[0]] == [r.similarity for r in pv[0]]
 
 
 def test_text_similarity():

@@ -314,3 +314,50 @@ def test_audio_chunk_from_url_local_http():
         assert len(got2.audio) == len(got.audio)
     finally:
         srv.shutdown()
+
+
+def test_ingest_follows_sender_payload_type():
+    """Negotiation said G.722 but the peer streams PCMU (observed with
+    endpoints that list PCMU first yet accept our G722-preferring answer):
+    the stream must follow the sender's pt on the FIRST packet instead of
+    ADPCM-decoding mu-law bytes into garbage, and must DROP later packets
+    whose pt matches nothing negotiated (comfort noise, DTMF)."""
+    from infernos_tpu.audio.codecs import G722Codec
+    from infernos_tpu.media.ingest import AudioInput, RTPIngest, RTPInStream
+
+    ring = RTPIngest()
+    ring.start()
+    try:
+        stream = RTPInStream(ring, G722Codec())  # negotiated: G722
+        segs = []
+        stream.stream_connect(AudioInput(vad_chunk_in=segs.append))
+        # the peer sends PCMU (pt 0): 2 s of speech-band tone + 1 s tail
+        sr = 8000
+        t = np.arange(2 * sr) / sr
+        speech = (0.5 * np.sin(2 * np.pi * 300 * t)
+                  * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+        sig = np.concatenate([np.zeros(1600, np.float32), speech,
+                              np.zeros(sr, np.float32)])
+        codec = G711Codec()
+        rs = RTPPacketizer(8000, 20)
+        for i in range(0, len(sig) - 159, 160):
+            pkt = rs.next_pkt(160, 0, codec.encode(sig[i:i + 160]))
+            stream.rtp_received(pkt, ("127.0.0.1", 1), time.monotonic())
+        deadline = time.monotonic() + 8.0
+        while not segs and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert stream.codec.ptype == 0, "stream did not follow the sender pt"
+        assert segs, "no VAD segment from the pt-followed stream"
+        cap = np.asarray(segs[0].audio)
+        # mu-law decode is a table lookup: a correct capture is LOUD and
+        # clean; the G722-misdecode bug produced rms ~0.54 of garbage
+        assert 0.2 < float(np.sqrt((cap ** 2).mean())) < 0.5
+        # a later unexpected pt (comfort noise 13) is dropped, not decoded
+        cn = rs.next_pkt(160, 13, b"\x00" * 160)
+        stream.rtp_received(cn, ("127.0.0.1", 1), time.monotonic())
+        deadline = time.monotonic() + 2.0
+        while stream.pt_dropped == 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert stream.pt_dropped == 1
+    finally:
+        ring.stop()
