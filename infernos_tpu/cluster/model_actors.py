@@ -123,6 +123,11 @@ class TTSActor(Actor):
             max_steps=64 if self.tiny else 512,
             stop_threshold=2.0,  # random weights never emit a stop token
             dtype=dtype,
+            # random/zeros weights synthesize ~3e-5 peak -- below the G.711
+            # mu-law floor, i.e. digital silence on a PCMU leg.  Normalize
+            # the plumbing stand-in to real speech loudness (only when no
+            # externally trained params were provided).
+            output_norm_rms=0.05 if self._params is None else 0.0,
         )
         self.lang = lang
         self.tokenizer = CharTokenizer()

@@ -151,13 +151,19 @@ class TTSSoundDispatch:
     markers; ``None`` EOS becomes a sentence marker (+done callback)."""
 
     def __init__(self, soundout: Callable, output_sr: int,
-                 done_cb: Optional[Callable[[], None]]):
+                 done_cb: Optional[Callable[[], None]],
+                 norm_rms: float = 0.0):
         self.id = uuid.uuid4()
         self.soundout = soundout
         self.output_sr = output_sr
         self.done_cb = done_cb
         self.cancelled = False
         self.cleanup_cb: Optional[Callable[[], None]] = None
+        # per-say loudness normalization (TTSEngineConfig.output_norm_rms):
+        # gain locks on the first energetic chunk so every chunk of one
+        # utterance scales coherently
+        self.norm_rms = norm_rms
+        self._gain: Optional[float] = None
 
     def cancel(self) -> None:
         self.cancelled = True
@@ -176,6 +182,14 @@ class TTSSoundDispatch:
         if audio is None:
             self._emit_end()
             return
+        if self.norm_rms > 0.0:
+            audio = np.asarray(audio, np.float32)
+            if self._gain is None:
+                rms = float(np.sqrt(np.mean(np.square(audio)))) if len(audio) else 0.0
+                if rms > 1e-7:  # leading silence passes through unscaled
+                    self._gain = self.norm_rms / rms
+            if self._gain is not None:
+                audio = np.clip(audio * self._gain, -0.95, 0.95)
         self.soundout(AudioChunk(audio, self.output_sr, track_id=0))
 
 
@@ -207,7 +221,10 @@ class TTSSession:
             spk = self.speaker_bank.get(req.speaker_id)
         else:
             spk = np.zeros(self.engine.cfg.speaker_embedding_dim, np.float32)
-        disp = TTSSoundDispatch(self.soundout, self.engine.ecfg.sample_rate, done_cb)
+        disp = TTSSoundDispatch(self.soundout, self.engine.ecfg.sample_rate,
+                                done_cb,
+                                norm_rms=getattr(self.engine.ecfg,
+                                                 "output_norm_rms", 0.0))
         disp.cleanup_cb = lambda: self.active.pop(disp.id, None)
         sid = self.engine.start_session(self.tokenize(text), spk, disp)
         self.active[disp.id] = (disp, sid)

@@ -66,6 +66,16 @@ class TTSEngineConfig:
     # dead chunks skipped.  None = auto (on when running on TPU); the XLA
     # path is the oracle and serves everywhere else.
     fused_step: Optional[bool] = None
+    # Per-utterance output loudness normalization (0 = off).  Random-weights
+    # plumbing stand-ins synthesize ~3e-5 peak amplitude -- BELOW the G.711
+    # mu-law quantization floor (half-step ~1.2e-4), so a PCMU leg carries
+    # their reply as exact digital silence (round-5 e2e regression: the
+    # codec-negotiation fix moved the fakes from G722, whose ADPCM dithers
+    # tiny signals to nonzero codes, onto PCMU).  When >0, the dispatch
+    # locks a per-say gain on the first energetic chunk that brings its RMS
+    # to this target.  Trained/real checkpoints produce real speech levels
+    # and leave this off.
+    output_norm_rms: float = 0.0
 
 
 class TTSState(NamedTuple):

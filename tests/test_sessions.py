@@ -162,3 +162,36 @@ def test_tts_session_stop_saying():
     assert sum(1 for x in out if isinstance(x, AudioChunk)) == n_audio
     assert any(isinstance(x, ASMarkerNewSent) for x in out)
     assert not sess.stop_saying(say_id)  # already gone
+
+
+def test_tts_dispatch_output_norm_rms():
+    """Loudness normalization for random-weights stand-ins (round-5 e2e
+    regression): random tiny TTS synthesizes ~3e-5 peak, which G.711 mu-law
+    quantizes to EXACT digital silence; output_norm_rms locks a per-say gain
+    on the first energetic chunk so a PCMU leg carries audible audio."""
+    from infernos_tpu.audio.codecs import G711Codec
+    from infernos_tpu.serving.sessions import TTSSoundDispatch
+
+    # the floor itself: a 3e-5-peak signal round-trips G.711 to all-zeros
+    tiny_sig = (3e-5 * np.sin(np.linspace(0, 40, 160))).astype(np.float32)
+    g711 = G711Codec()
+    assert np.abs(g711.decode(g711.encode(tiny_sig))).max() == 0.0
+
+    out = []
+    disp = TTSSoundDispatch(out.append, 16000, done_cb=None, norm_rms=0.05)
+    lead_silence = np.zeros(64, np.float32)
+    disp(lead_silence)            # gain must not lock on silence
+    disp(tiny_sig)                # locks gain here
+    disp(tiny_sig * 0.5)          # same gain applies to later chunks
+    assert np.abs(out[0].audio).max() == 0.0
+    rms1 = float(np.sqrt(np.mean(out[1].audio ** 2)))
+    assert abs(rms1 - 0.05) < 1e-3
+    # second chunk scaled by the SAME locked gain (half the amplitude)
+    assert np.allclose(out[2].audio, out[1].audio * 0.5, atol=1e-6)
+    # and the normalized audio survives a G.711 round-trip audibly
+    assert np.abs(g711.decode(g711.encode(out[1].audio))).max() > 1e-3
+    # norm off (default) leaves audio untouched
+    out2 = []
+    disp_off = TTSSoundDispatch(out2.append, 16000, done_cb=None)
+    disp_off(tiny_sig)
+    assert np.array_equal(out2[0].audio, tiny_sig)
