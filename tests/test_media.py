@@ -361,3 +361,46 @@ def test_ingest_follows_sender_payload_type():
         assert stream.pt_dropped == 1
     finally:
         ring.stop()
+
+
+def test_udp_shared_selector_loop():
+    """All UdpServer receive paths share one epoll thread (round-5 host-path
+    fix: thread-per-socket recv was the dominant GIL churn at 32-call ramp
+    levels).  Semantics preserved: per-socket callbacks, monotonic rtime,
+    shutdown stops delivery and closes the socket."""
+    import socket as socket_mod
+    import threading
+    import time as time_mod
+
+    from infernos_tpu.media.udp import UdpServer, _SelectorLoop
+
+    got_a, got_b = [], []
+    a = UdpServer(("127.0.0.1", 0), lambda d, ad, t: got_a.append((d, ad, t)))
+    b = UdpServer(("127.0.0.1", 0), lambda d, ad, t: got_b.append((d, ad, t)))
+    # both servers ride the ONE shared loop thread (no per-socket threads)
+    assert a._thr is None and b._thr is None
+    n_udp_threads = sum(1 for t in threading.enumerate()
+                        if t.name.startswith("udp:"))
+    assert n_udp_threads == 0
+    tx = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_DGRAM)
+    t0 = time_mod.monotonic()
+    for i in range(5):
+        tx.sendto(b"a%d" % i, a.laddr)
+        tx.sendto(b"b%d" % i, b.laddr)
+    deadline = time_mod.monotonic() + 5
+    while (len(got_a) < 5 or len(got_b) < 5) and time_mod.monotonic() < deadline:
+        time_mod.sleep(0.02)
+    assert [d for d, _, _ in got_a] == [b"a0", b"a1", b"a2", b"a3", b"a4"]
+    assert [d for d, _, _ in got_b] == [b"b0", b"b1", b"b2", b"b3", b"b4"]
+    assert all(t0 <= t <= time_mod.monotonic() for _, _, t in got_a + got_b)
+    # reply path still works from the shared-loop server socket
+    a.send_to(b"pong", got_a[0][1])
+    # shutdown: no more delivery, fd is closed on the loop thread
+    b.shutdown()
+    time_mod.sleep(0.1)
+    tx.sendto(b"late", b.laddr)
+    time_mod.sleep(0.3)
+    assert len(got_b) == 5
+    assert b.sock.fileno() == -1, "socket must be closed after shutdown"
+    a.shutdown()
+    tx.close()
