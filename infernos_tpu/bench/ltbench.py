@@ -377,8 +377,14 @@ def run_lt_level(sip_bind, far_end: MultiFarEnd, n_calls: int,
                             c.fi = 0
                             c.n_before = len(rx)
                     elif c.state == "wait":
+                        # scan only NEW packets since last tick (a slice from
+                        # n_before copied the turn's whole rx list every 20 ms
+                        # x every call -- measurable at 32 calls on one core)
                         got = None
-                        for (t, _d) in c.entry["rx"][c.n_before:]:
+                        rx = c.entry["rx"]
+                        while c.n_before < len(rx):
+                            t = rx[c.n_before][0]
+                            c.n_before += 1
                             if t >= c.t_eos:
                                 got = t
                                 break
@@ -562,6 +568,10 @@ def main() -> None:
                 # the freshest passing level instead of nothing
                 print(json.dumps(_ramp_json(best, results)), flush=True)
 
+            from ..utils import pysampler as _ps
+
+            if _ps._auto is not None:  # profile the LEVELS, not the boot
+                _ps._auto.reset()
             best, results = run_lt_ramp(
                 iconf.sip_conf.bind, far, levels, turns=args.turns,
                 sla_turn_s=args.sla, on_level=_on_level)
@@ -585,6 +595,15 @@ def main() -> None:
         import sys
         sys.stdout.flush()
         sys.stderr.flush()
+        try:
+            # os._exit skips atexit: flush the profiler dump (if any) by hand
+            from ..utils.pysampler import _auto as _sampler
+
+            if _sampler is not None:
+                _sampler.stop()
+                _sampler.dump(os.environ["INFERNOS_PYSAMPLER"])
+        except Exception:
+            pass
         try:
             stop_all()
             far.close()

@@ -49,6 +49,28 @@ def _frame_key(fr) -> str:
     return f"{fn}:{co.co_name}"
 
 
+# source-line patterns that mean "this frame is blocked in an invisible C
+# call on this line" (time.sleep, sock.recvfrom, selector.select, lock
+# acquire...).  A Python leaf whose NAME is not a wait wrapper can still be
+# parked on such a line -- e.g. a ticker loop's ``time.sleep(1.0)`` showed
+# up as 46% "on-CPU" in the round-5 ramp profile until line classification.
+_WAIT_LINE = None
+
+
+def _line_is_wait(fr) -> bool:
+    global _WAIT_LINE
+    if _WAIT_LINE is None:
+        import re
+
+        _WAIT_LINE = re.compile(
+            r"\.(sleep|recvfrom|recv|select|poll|accept|wait|join|acquire|"
+            r"get|result)\(|\btime\.sleep\(|\bsleep\(")
+    import linecache
+
+    line = linecache.getline(fr.f_code.co_filename, fr.f_lineno)
+    return bool(_WAIT_LINE.search(line))
+
+
 class Sampler:
     def __init__(self, hz: float = 200.0, max_depth: int = 4):
         self.interval = 1.0 / hz
@@ -68,7 +90,8 @@ class Sampler:
             if tid == me:
                 continue
             leaf = _frame_key(top)
-            waiting = top.f_code.co_name in _WAIT_LEAVES
+            waiting = (top.f_code.co_name in _WAIT_LEAVES
+                       or _line_is_wait(top))
             if waiting:
                 self.leaf_wait[leaf] += 1
                 continue
@@ -88,6 +111,15 @@ class Sampler:
                 self._tick()
             except Exception:
                 pass
+
+    def reset(self) -> None:
+        """Zero the counters (e.g. right before a measured window, so boot
+        compile/trace work does not drown the serving-path ranking)."""
+        self.leaf_on.clear()
+        self.leaf_wait.clear()
+        self.stack_on.clear()
+        self.thread_on.clear()
+        self.n_samples = 0
 
     def start(self) -> None:
         self._thr = threading.Thread(target=self._run, daemon=True,
