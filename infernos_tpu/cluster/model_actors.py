@@ -251,11 +251,19 @@ class STTActor(Actor):
                 # aggregate realtime vs one 30 s-capable engine (PERF.md)
                 from ..serving.stt_tiered import TieredSTTConfig, TieredSTTEngine
 
+                # INFERNOS_STT_SLOTS: short-tier width.  At a 32-call ramp
+                # level the per-turn utterances partially synchronize, so a
+                # 24-slot tier serves them in two waves -- a p95 tail, not a
+                # throughput limit (round-5 profile).  int8 cross-KV keeps
+                # 32 8-s slots ~1 GB.
                 self.engine = TieredSTTEngine(
                     params, cfg,
-                    TieredSTTConfig(short_max_s=8, short_slots=24,
-                                    long_slots=8, dtype=ecfg.dtype,
-                                    base=dataclasses.replace(ecfg)))
+                    TieredSTTConfig(
+                        short_max_s=8,
+                        short_slots=int(os.environ.get(
+                            "INFERNOS_STT_SLOTS", "24")),
+                        long_slots=8, dtype=ecfg.dtype,
+                        base=dataclasses.replace(ecfg)))
         self.engine.warmup()
         self.driver = EngineDriver(self.engine, name="stt")
         self.driver.start()
