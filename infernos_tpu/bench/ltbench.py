@@ -421,6 +421,23 @@ def run_lt_level(sip_bind, far_end: MultiFarEnd, n_calls: int,
         fl.join(timeout=30.0 + turns * (turn_timeout + utter_s + 2.0))
         stop.set()
 
+        # engine-stage snapshot to stderr: where did this level's turn time
+        # go (STT inference, TTS TTFB/queue, engine tick cadence)?
+        try:
+            from ..utils.metrics import metrics as _m
+
+            snap = _m.snapshot()
+            keys = [k for k in snap
+                    if k.startswith(("stt.inf_time", "stt.queue", "tts.ttfb",
+                                     "tts.queue_wait", "tts.tick_s"))
+                    and (k.endswith(".p50") or k.endswith(".p95")
+                         or k.endswith(".count"))]
+            import sys as _sys
+
+            _sys.stderr.write("level %d engine metrics: %s\n" % (
+                n_calls, {k: round(snap[k], 3) for k in sorted(keys)}))
+        except Exception:
+            pass
         lats = sorted(x for c in calls for x in c.lats)
         failures = sum(c.failures for c in calls)
         p = lambda q: lats[min(len(lats) - 1, int(q * len(lats)))] if lats else 0.0
