@@ -184,7 +184,14 @@ class NumpyVAD:
         y = (xp[:, :-2] @ w[0] + xp[:, 1:-1] @ w[1] + xp[:, 2:] @ w[2])
         return y + b
 
-    def __call__(self, windows: np.ndarray) -> np.ndarray:
+    #: worker may pass ``slots`` to run only the occupied rows (the media
+    #: worker was paying the FULL slot-table width per forward otherwise --
+    #: at 200 slots that made every staggered-arrival forward cost ~40x its
+    #: true batch, the dominant host burn in the round-5 ramp profile)
+    supports_slots = True
+
+    def __call__(self, windows: np.ndarray,
+                 slots: "np.ndarray | None" = None) -> np.ndarray:
         cfg = self.cfg
         B, W = windows.shape
         n_frames = 1 + (W - cfg.n_fft) // cfg.hop
@@ -199,7 +206,8 @@ class NumpyVAD:
             return 1.0 / (1.0 + np.exp(-v))
 
         for li, lp in enumerate(self.lstm):
-            h, c = self.h[li], self.c[li]
+            h = self.h[li] if slots is None else self.h[li][slots]
+            c = self.c[li] if slots is None else self.c[li][slots]
             ys = np.empty((B, x.shape[1], h.shape[-1]), np.float32)
             for t in range(x.shape[1]):
                 gates = x[:, t] @ lp["wi"] + h @ lp["wh"] + lp["b"]
@@ -207,7 +215,11 @@ class NumpyVAD:
                 c = sig(f) * c + sig(i) * np.tanh(g_)
                 h = sig(o) * np.tanh(c)
                 ys[:, t] = h
-            self.h[li], self.c[li] = h, c
+            if slots is None:
+                self.h[li], self.c[li] = h, c
+            else:
+                self.h[li][slots] = h
+                self.c[li][slots] = c
             x = ys
         return sig(x[:, -1] @ self.head_w + self.head_b)[:, 0]
 

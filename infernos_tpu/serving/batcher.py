@@ -21,11 +21,22 @@ log = get_logger("serving.batcher")
 
 class BatchedWorker(WrkThread):
     max_batch_size: int = 8
+    #: optional micro-batching window: after the first item arrives, keep
+    #: collecting for up to this long before processing.  The reference's
+    #: greedy drain has zero added latency but degenerates to batch=1 when
+    #: arrivals are staggered -- the round-5 ramp profile showed the VAD
+    #: worker burning ~40% of the single host core running 667 batch~1
+    #: forwards/s.  A few ms of window re-batches them at a latency cost
+    #: that is negligible against the 96 ms VAD tick.
+    batch_wait_s: float = 0.0
 
-    def __init__(self, name: str = "batched", max_batch_size: Optional[int] = None):
+    def __init__(self, name: str = "batched", max_batch_size: Optional[int] = None,
+                 batch_wait_s: Optional[float] = None):
         super().__init__(name=name)
         if max_batch_size is not None:
             self.max_batch_size = max_batch_size
+        if batch_wait_s is not None:
+            self.batch_wait_s = batch_wait_s
         self._q: "queue.Queue[Any]" = queue.Queue()
         self.proc_start_cb: Optional[Callable[[Any], None]] = None
 
@@ -35,13 +46,22 @@ class BatchedWorker(WrkThread):
 
     # -- worker side -------------------------------------------------------
     def _next_batch(self) -> Optional[List[Any]]:
+        import time
+
         item = self._q.get()
         if item is None:
             return None
         batch = [item]
+        deadline = (time.monotonic() + self.batch_wait_s
+                    if self.batch_wait_s > 0.0 else None)
         while len(batch) < self.max_batch_size:
             try:
-                item = self._q.get_nowait()
+                if deadline is None:
+                    item = self._q.get_nowait()
+                else:
+                    left = deadline - time.monotonic()
+                    item = (self._q.get_nowait() if left <= 0.0
+                            else self._q.get(timeout=left))
             except queue.Empty:
                 break
             if item is None:

@@ -109,3 +109,32 @@ def test_zlib_vad_utterance():
                 out = r
     assert out is not None and len(out) >= 8000 // 2
     assert any(flags) and not all(flags)
+
+
+def test_numpy_vad_compact_slots_state_isolation():
+    """Round-5 fix: the worker used to run the FULL 200-slot table per
+    forward, which (a) cost ~40x the true batch at staggered arrivals and
+    (b) advanced every idle channel's LSTM state with zero windows on every
+    other channel's tick.  The compact-slots path must keep a channel's
+    prob sequence independent of other channels' forwards."""
+    import numpy as np
+
+    from infernos_tpu.models import vad as vad_m
+
+    params = vad_m.load_pretrained()
+    if params is None:
+        import pytest
+
+        pytest.skip("no trained VAD checkpoint")
+    cfg = vad_m.VADConfig()
+    rng = np.random.default_rng(0)
+    m_a = vad_m.NumpyVAD(params, cfg, 200)
+    m_b = vad_m.NumpyVAD(params, cfg, 200)
+    wins = rng.standard_normal((6, 768)).astype(np.float32) * 0.1
+    probs_a = [float(m_a(w[None], slots=np.array([7]))[0]) for w in wins]
+    probs_b = []
+    for w in wins:
+        probs_b.append(float(m_b(w[None], slots=np.array([7]))[0]))
+        m_b(rng.standard_normal((3, 768)).astype(np.float32) * 0.1,
+            slots=np.array([11, 45, 90]))
+    assert np.allclose(probs_a, probs_b)
