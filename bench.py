@@ -211,8 +211,10 @@ def _fallback_result(error: str) -> dict:
             "detail": {"error": error,
                        "last_recorded_hardware": {
                            "lt_calls_per_chip": 24,
-                           "when": "2026-08-19 ltramp --ramp --full "
-                                   "(PERF.md round 4, /tmp/q4b_ltramp.log)",
+                           "when": "2026-08-20 ltramp --ramp --full "
+                                   "(PERF.md round 5; 24-call level p95 "
+                                   "turn 2.85 s vs 3.5 s SLA after the "
+                                   "VAD compact-slot host fix)",
                            "llm_device_tok_s": {"B=32": 1939},
                            "tts_paced_calls": 298}}}
 
