@@ -210,11 +210,12 @@ def _fallback_result(error: str) -> dict:
             "unit": "concurrent two-leg LT calls", "vs_baseline": 0.0,
             "detail": {"error": error,
                        "last_recorded_hardware": {
-                           "lt_calls_per_chip": 24,
+                           "lt_calls_per_chip": 28,
                            "when": "2026-08-20 ltramp --ramp --full "
-                                   "(PERF.md round 5; 24-call level p95 "
-                                   "turn 2.85 s vs 3.5 s SLA after the "
-                                   "VAD compact-slot host fix)",
+                                   "(PERF.md round 5; 28-call level p95 "
+                                   "turn 3.447 s vs 3.5 s SLA, hybrid "
+                                   "TTS-32/STT-24 slots after the VAD "
+                                   "compact-slot host fix)",
                            "llm_device_tok_s": {"B=32": 1939},
                            "tts_paced_calls": 298}}}
 
@@ -239,8 +240,14 @@ def main() -> None:
         env_extra = {
             "INFERNOS_STT_MAX_NEW":
                 os.environ.get("INFERNOS_STT_MAX_NEW", "24"),
+            # hybrid slot widths (round-5 A/B): TTS 32 removes the say-queue
+            # wave at 28-32 concurrent says (p95 wait 1.10 s -> 0.06 s);
+            # STT stays 24 -- widening the tier slows decode more than
+            # queueing saves.  28 calls passed the 3.5 s SLA with this pair.
             "INFERNOS_TTS_SLOTS":
-                os.environ.get("INFERNOS_TTS_SLOTS", "24"),
+                os.environ.get("INFERNOS_TTS_SLOTS", "32"),
+            "INFERNOS_STT_SLOTS":
+                os.environ.get("INFERNOS_STT_SLOTS", "24"),
         }
         args = ["-m", "infernos_tpu.bench.ltbench", "--ramp", "--full",
                 "--turns", "2",
