@@ -230,7 +230,7 @@ class STTResult:
 
 class _Slot:
     __slots__ = ("req", "tokens", "t_start", "prompt_len", "ns_prob",
-                 "sum_logprob")
+                 "sum_logprob", "pending_d")
 
     def __init__(self, req, prompt_len, t_start):
         self.req = req
@@ -239,6 +239,12 @@ class _Slot:
         self.t_start = t_start
         self.ns_prob = 0.0
         self.sum_logprob = 0.0
+        # (first_tok, ns_prob) device scalars from the prefill, resolved
+        # lazily at the slot's first harvest: a blocking device_get inside
+        # the join stalled the driver for the full encode+prefill latency
+        # PER join -- at a 28-call burst that serialized ~1 s of joins into
+        # the stt.inf_time tail (round-5 ramp finding)
+        self.pending_d = None
 
 
 class STTEngine:
@@ -622,20 +628,20 @@ class STTEngine:
         first_tok_d, ns_prob_d, sk, sv = self._prefill_fn(
             self.params, jnp.asarray(toks), enc, jnp.int32(len(prompt)),
             jnp.int32(sot_pos))
-        first_tok, ns_prob = jax.device_get((first_tok_d, ns_prob_d))
-        first_tok, ns_prob = int(first_tok), float(ns_prob)
+        # no host fetch here: the first token flows into the join AS a
+        # device scalar, and (first_tok, ns_prob) resolve lazily at the
+        # slot's first harvest -- the former blocking device_get made every
+        # join cost the full encode+prefill wall on the driver thread
         (self.cache, self.enc_mask, self.pos, self.cur_tok, self.done,
          self.logp, self.temp) = self._join_fn(
             self.params, self.cache, self.enc_mask, self.pos, self.cur_tok,
             self.done, self.logp, self.temp, jnp.int32(slot), enc,
             jnp.int32(enc_len), sk, sv, jnp.int32(len(prompt)),
-            jnp.int32(first_tok), jnp.float32(req.temperature),
+            first_tok_d, jnp.float32(req.temperature),
         )
         sess = _Slot(req, len(prompt), time.monotonic())
-        if first_tok != self.cfg.eos_token_id:
-            sess.tokens.append(first_tok)
+        sess.pending_d = (first_tok_d, ns_prob_d)
         self.slots[slot] = sess
-        sess.ns_prob = ns_prob
         return slot
 
     def step(self) -> bool:
@@ -667,6 +673,19 @@ class STTEngine:
 
     def _harvest(self, bufs, snapshot) -> None:
         nxt_np, done_np, logp_np = jax.device_get(bufs)  # [B,K],[B,K],[B]
+        # resolve deferred prefill scalars (first token + ns_prob) for every
+        # newly joined slot in ONE fetch; by the first harvest the prefill
+        # has long completed, so this is one RTT for the whole join burst
+        fresh = [s for s in snapshot
+                 if s is not None and s.pending_d is not None]
+        if fresh:
+            vals = jax.device_get([s.pending_d for s in fresh])
+            for s, (ft, ns) in zip(fresh, vals):
+                ft = int(ft)
+                if ft != self.cfg.eos_token_id:
+                    s.tokens.insert(0, ft)
+                s.ns_prob = float(ns)
+                s.pending_d = None
         K = nxt_np.shape[1]
         for i, sess in enumerate(snapshot):
             if sess is None or self.slots[i] is not sess:
