@@ -567,7 +567,7 @@ def main() -> None:
                 # window is minutes, not hours (BENCH_r03/r04 were killed
                 # mid-ladder)
                 levels = [int(x) for x in os.environ.get(
-                    "BENCH_LT_LEVELS", "8,16,24,28,32").split(",")]
+                    "BENCH_LT_LEVELS", "16,24,32,36,40").split(",")]
             def _ramp_json(best, results):
                 return {
                     "metric": "lt_calls_per_chip",
