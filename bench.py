@@ -210,10 +210,10 @@ def _fallback_result(error: str) -> dict:
             "unit": "concurrent two-leg LT calls", "vs_baseline": 0.0,
             "detail": {"error": error,
                        "last_recorded_hardware": {
-                           "lt_calls_per_chip": 32,
+                           "lt_calls_per_chip": 36,
                            "when": "2026-08-20 ltramp --ramp --full "
-                                   "(PERF.md round 5; 32-call level p95 "
-                                   "turn 1.835 s vs 3.5 s SLA: hybrid "
+                                   "(PERF.md round 5; 36-call level p95 "
+                                   "turn 3.352 s vs 3.5 s SLA: hybrid "
                                    "TTS-32/STT-24 slots, VAD compact-slot "
                                    "host fix, non-blocking STT joins)",
                            "llm_device_tok_s": {"B=32": 1939},
